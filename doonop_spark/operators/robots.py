@@ -1,0 +1,194 @@
+"""robots.txt admission gate (SURVEY.md §2.4 F6/F7, §2.1 S5; reference
+``src/robots.rs``, gate applied at dispatch in ``src/workload.rs:100-109``).
+
+Reference semantics reproduced exactly:
+
+- robots.txt is fetched **once per (domain, robot)** and the compiled
+  verifier cached (``src/robots.rs:23-33``). Spark shape: the corpus ships
+  a small ``robots`` table ``(host, robots_txt)`` that is broadcast-joined
+  onto the wave; rule compilation is cached per (robots_txt, robot) inside
+  the Arrow UDF (compile-once ≈ the reference's verifier cache).
+- a URL **without a domain is always allowed** (F7, ``src/robots.rs:16-19``).
+- a robots **fetch error ⇒ the URL is silently skipped** — never
+  dispatched, never counted (``src/workload.rs:100-109`` ``if let Ok(true)``
+  swallows Err). Table shape: a host absent from the robots table models
+  the fetch error ⇒ its URLs are dropped silently. Hosts whose robots.txt
+  is empty/permissive admit everything.
+- matching is Google-REP style (the reference's ``cylon`` crate): rules of
+  the most specific matching user-agent group; per-path longest-match
+  wins; tie ⇒ Allow; no rule ⇒ allowed. ``*`` and ``$`` wildcards.
+
+``Crawl-delay`` is parsed as well — not used by the reference, but it
+feeds the per-host politeness budgeter (north_star extension, see
+``operators/schedule.py``).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "parse_robots",
+    "is_allowed",
+    "crawl_delay_of",
+    "robots_gate",
+    "DEFAULT_ROBOT",
+]
+
+# reference default user-agent token: src/cfg.rs:94-95
+DEFAULT_ROBOT = "DoonopRobot"
+
+
+def _rule_regex(pattern: str) -> re.Pattern:
+    """Compile a robots path pattern (* and $ wildcards) to an anchored regex."""
+    anchored_end = pattern.endswith("$")
+    if anchored_end:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    rx = "^" + ".*".join(parts)
+    if anchored_end:
+        rx += "$"
+    return re.compile(rx)
+
+
+def _parse_groups(robots_txt: str) -> list[tuple[list[str], list[tuple[bool, str]], float | None]]:
+    """robots.txt -> [(agents, [(is_allow, path)...], crawl_delay)]."""
+    groups: list[tuple[list[str], list[tuple[bool, str]], float | None]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    delay: float | None = None
+    agents_open = True  # consecutive UA lines accumulate into one group
+
+    def flush():
+        nonlocal agents, rules, delay
+        if agents:
+            groups.append((agents, rules, delay))
+        agents, rules, delay = [], [], None
+
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not agents_open:
+                flush()
+                agents_open = True
+            agents.append(value.lower())
+        elif key in ("allow", "disallow"):
+            agents_open = False
+            if key == "disallow" and value == "":
+                continue  # empty Disallow = allow everything (no rule)
+            if value:
+                rules.append((key == "allow", value))
+        elif key == "crawl-delay":
+            agents_open = False
+            try:
+                delay = float(value)
+            except ValueError:
+                pass
+    flush()
+    return groups
+
+
+class RobotsRules:
+    """Compiled per-(robots_txt, robot) verifier — the reference's
+    ``RobotsVerifier`` analog (src/robots.rs:60-81)."""
+
+    __slots__ = ("rules", "crawl_delay")
+
+    def __init__(self, robots_txt: str, robot: str):
+        robot_l = robot.lower()
+        best: tuple[int, list, float | None] | None = None
+        for agents, rules, delay in _parse_groups(robots_txt):
+            for a in agents:
+                # most specific UA token wins; '*' has specificity 0
+                if a == "*":
+                    spec = 0
+                elif a in robot_l or robot_l in a:
+                    spec = len(a)
+                else:
+                    continue
+                if best is None or spec > best[0]:
+                    best = (spec, rules, delay)
+        if best is None:
+            self.rules: list[tuple[bool, int, re.Pattern]] = []
+            self.crawl_delay: float | None = None
+        else:
+            self.rules = [(allow, len(p), _rule_regex(p)) for allow, p in best[1]]
+            self.crawl_delay = best[2]
+
+    def is_allowed(self, path: str) -> bool:
+        if not path:
+            path = "/"
+        verdict, best_len = True, -1
+        for allow, plen, rx in self.rules:
+            if rx.match(path) and (plen > best_len or (plen == best_len and allow)):
+                verdict, best_len = allow, plen
+        return verdict
+
+
+@lru_cache(maxsize=4096)
+def parse_robots(robots_txt: str, robot: str = DEFAULT_ROBOT) -> RobotsRules:
+    return RobotsRules(robots_txt, robot)
+
+
+def is_allowed(robots_txt: str | None, url_path: str, robot: str = DEFAULT_ROBOT) -> bool:
+    if robots_txt is None:
+        return False  # fetch-miss ⇒ silently skipped (src/workload.rs:100-109)
+    return parse_robots(robots_txt, robot).is_allowed(url_path)
+
+
+def crawl_delay_of(robots_txt: str | None, robot: str = DEFAULT_ROBOT) -> float | None:
+    if robots_txt is None:
+        return None
+    return parse_robots(robots_txt, robot).crawl_delay
+
+
+def _path_expr(url):
+    """JVM-side path+query of a canonical URL (robots rules match on it)."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([/?][^#]*)", 1), F.lit("")),
+        F.lit("/"),
+    )
+
+
+def robots_gate(
+    wave: DataFrame,
+    robots: DataFrame | None,
+    robot: str = DEFAULT_ROBOT,
+    use_robots: bool = False,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """F6/F7 — admission gate over a scheduled wave.
+
+    ``robots`` is a tiny per-host table ``(host, robots_txt)`` →
+    broadcast hash join (no shuffle of the wave). Disallowed and
+    fetch-missed rows are dropped *silently* (reference semantics);
+    hostless URLs always pass (F7).
+    """
+    if not use_robots or robots is None:
+        return wave
+    r = F.broadcast(robots.select(F.col("host").alias("__rhost"), "robots_txt"))
+    joined = wave.join(r, wave[host_col] == r["__rhost"], "left")
+
+    @F.pandas_udf(T.BooleanType())
+    def _allowed(robots_txt: pd.Series, path: pd.Series) -> pd.Series:
+        return pd.Series(
+            [is_allowed(t, p, robot) for t, p in zip(robots_txt, path)],
+            dtype="boolean",
+        )
+
+    gate = F.when(F.col(host_col).isNull(), F.lit(True)).otherwise(
+        _allowed(F.col("robots_txt"), _path_expr(F.col(url_col)))
+    )
+    return joined.filter(gate).drop("__rhost", "robots_txt")
