@@ -1,0 +1,160 @@
+"""Wave scheduling (SURVEY.md §2.6 O1-O6, §2.7 X1): LIFO frontier order,
+retry-policy priority, retry ripeness, per-host politeness budgets,
+hot-host salting.
+
+The reference's scheduler pops one URL at a time from a stack
+(``src/workload.rs:230``), at most N in flight (``:93-98``). Our wave model
+selects the *set* the reference would dispatch before any result returns:
+top-k of the frontier under the policy ordering. With k=1 the schedule is
+byte-identical to the reference's single-engine order; with k=None the
+per-host politeness budget (north_star extension) bounds the wave instead.
+
+Ordering semantics ported:
+
+- O1 LIFO: ``ORDER BY seq DESC`` — ``seq`` is the monotone enqueue counter.
+- O2 policy: RetryFirst ⇒ ripe retries before fresh URLs; RetryLast ⇒
+  fresh first (``src/workload.rs:228-240``).
+- O3 ripeness: a retry is ripe when ``now - enqueued > threshold`` OR the
+  fresh frontier is empty (forced drain, ``src/retry.rs:38-55``); ripest
+  (earliest retry_at) first.
+- O6 in-flight bound = wave size (``src/workload.rs:96``).
+
+Everything here is JVM-side (window/sort/limit) — no Python in the
+scheduling hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from doonop_spark.plans.job import RetryPolicy
+
+__all__ = ["select_wave", "policy_order", "politeness_budget", "salt_for_skew"]
+
+
+def policy_order(policy: RetryPolicy):
+    """Sort keys implementing O1-O3 for the given retry policy."""
+    is_retry = F.col("is_retry")
+    if policy == RetryPolicy.NO:
+        # retries never exist under policy No — pure LIFO
+        return [F.col("seq").desc()]
+    # retry priority class: 0 dispatches first
+    if policy == RetryPolicy.FIRST:
+        prio = F.when(is_retry, 0).otherwise(1)
+    else:  # RetryPolicy.LAST
+        prio = F.when(is_retry, 1).otherwise(0)
+    # within retries: ripest first (BTreeMap head, src/retry.rs:39-46);
+    # within fresh: LIFO (src/workload.rs:230)
+    return [
+        prio.asc(),
+        F.when(is_retry, F.col("retry_at")).otherwise(F.lit(0.0)).asc(),
+        F.col("seq").desc(),
+    ]
+
+
+def select_wave(
+    frontier: DataFrame,
+    policy: RetryPolicy,
+    wave_size: int | None,
+    now: float,
+    fresh_empty: bool,
+    per_host_budget: DataFrame | None = None,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Pick the next wave from the frontier.
+
+    ``per_host_budget`` is an optional tiny table ``(host, budget)``
+    (derived from robots Crawl-delay) broadcast onto the frontier;
+    ``default_budget`` caps hosts without an entry. ``wave_size`` is the
+    reference's engine bound (global top-k).
+    """
+    ripe = ~F.col("is_retry") | (F.col("retry_at") <= F.lit(now)) | F.lit(fresh_empty)
+    cand = frontier.filter(ripe)
+    if policy == RetryPolicy.NO:
+        cand = cand.filter(~F.col("is_retry"))
+
+    order = policy_order(policy)
+
+    if per_host_budget is not None or default_budget is not None:
+        # per-host top-k: shuffle by host only (window), no global sort
+        w = Window.partitionBy("host").orderBy(*order)
+        cand = cand.withColumn("__rn", F.row_number().over(w))
+        if per_host_budget is not None:
+            b = F.broadcast(
+                per_host_budget.select(
+                    F.col("host").alias("__bhost"), F.col("budget").alias("__budget")
+                )
+            )
+            cand = cand.join(b, cand["host"] == b["__bhost"], "left").drop("__bhost")
+            budget = F.coalesce(F.col("__budget"), F.lit(default_budget or 2**31 - 1))
+        else:
+            budget = F.lit(default_budget)
+        cand = cand.filter(
+            (F.col("__rn") <= budget) | F.col("host").isNull()
+        ).drop("__rn", "__budget")
+
+    if wave_size is not None:
+        # global policy order — exact reference dispatch order (O1/O2/O6).
+        # orderBy().limit(k) compiles to TakeOrderedAndProject: a per-
+        # partition top-k + a k-row merge on the driver, NOT a full sort.
+        cand = cand.orderBy(*order).limit(wave_size)
+    return cand
+
+
+def politeness_budget(
+    robots: DataFrame | None,
+    wave_seconds: float,
+    robot: str,
+) -> DataFrame | None:
+    """Per-host wave budget from robots Crawl-delay: a host allowing one
+    request per ``delay`` seconds gets ``max(1, wave_seconds/delay)`` slots
+    per wave (north_star politeness extension; the reference only has the
+    global engine bound + robots allow/deny)."""
+    if robots is None:
+        return None
+    from doonop_spark.operators.robots import crawl_delay_of
+
+    @F.pandas_udf(T.DoubleType())
+    def _delay(txt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [crawl_delay_of(t, robot) for t in txt], dtype="float64"
+        )
+
+    return (
+        robots.select("host", _delay(F.col("robots_txt")).alias("delay"))
+        .filter(F.col("delay").isNotNull() & (F.col("delay") > 0))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(1), F.floor(F.lit(wave_seconds) / F.col("delay"))
+            ).cast("int").alias("budget"),
+        )
+    )
+
+
+def salt_for_skew(wave: DataFrame, target_rows: int) -> DataFrame:
+    """X1 — spread hot hosts over multiple shards before the fetch/extract
+    stage: per-host counts decide how many salts each host gets
+    (``ceil(count/target)``), then repartition by (host, salt). The
+    reference gets this load balance for free from its shared URL channel
+    (``src/workload.rs:85-86``); a partition-per-host would bottleneck on
+    the hot host instead. AQE skew-join handling complements this for the
+    corpus join."""
+    counts = wave.groupBy("host").agg(F.count("*").alias("__n"))
+    salts = counts.select(
+        F.col("host").alias("__shost"),
+        F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(target_rows))).alias("__nsalt"),
+    )
+    salted = (
+        wave.join(F.broadcast(salts), wave["host"] == F.col("__shost"), "left")
+        .withColumn(
+            "__salt",
+            F.pmod(F.col("url_hash"), F.coalesce(F.col("__nsalt"), F.lit(1))),
+        )
+        .drop("__shost")
+    )
+    n_shards = max(wave.sparkSession.sparkContext.defaultParallelism, 1)
+    return salted.repartition(n_shards, "host", "__salt").drop("__nsalt", "__salt")

@@ -1,0 +1,188 @@
+"""CrawlJob — the logical plan (SURVEY.md §2.11 C1-C4; reference
+``CrawlConfig`` at ``src/lib.rs:28-41``, CLI schema ``src/cfg.rs:25-98``).
+
+Also carries the reference's CLI-fidelity pure parsers (proxy spec, retry
+policy, browser) — the proxy/browser settings are physical no-ops for a
+corpus-join fetch but are parsed and validated exactly as the reference
+does (golden tests ported from ``src/cfg.rs:352-397``).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+from enum import Enum
+
+from doonop_spark.operators.filters import (
+    Filter,
+    RegexFilter,
+    parse_filter_spec,
+    squash_filters,
+)
+from doonop_spark.operators.robots import DEFAULT_ROBOT
+
+__all__ = [
+    "RetryPolicy",
+    "CrawlJob",
+    "parse_retry_policy",
+    "parse_proxy",
+    "parse_browser",
+    "job_from_argv",
+]
+
+
+class RetryPolicy(str, Enum):
+    FIRST = "first"
+    LAST = "last"
+    NO = "no"
+
+
+def parse_retry_policy(s: str) -> RetryPolicy:
+    """src/cfg.rs:228-239 — accepted spellings."""
+    if s in ("no", "No", "off", "Off"):
+        return RetryPolicy.NO
+    if s in ("first", "First"):
+        return RetryPolicy.FIRST
+    if s in ("last", "Last"):
+        return RetryPolicy.LAST
+    raise ValueError(f"invalid retry policy: {s!r}")
+
+
+def parse_browser(s: str) -> str:
+    """src/cfg.rs:216-226 — kept for CLI fidelity; a config no-op here."""
+    if s in ("Firefox", "firefox", "geckodriver"):
+        return "firefox"
+    if s in ("Chrome", "chrome", "chromedriver"):
+        return "chrome"
+    raise ValueError(f"invalid browser: {s!r}")
+
+
+def parse_proxy(s: str) -> dict | None:
+    """Proxy spec parser (src/cfg.rs:300-328), pure-function port with the
+    reference's golden semantics: ``kind;k=v;k=v``; returns None on any
+    missing required key (the reference's Option::None)."""
+    parts = [p for p in s.split(";") if p != ""] if ";" in s else [s]
+    if not parts:
+        return None
+    kind = parts[0]
+    kv: dict[str, str] = {}
+    for item in parts[1:]:
+        if "=" not in item:
+            return None
+        k, _, v = item.partition("=")
+        kv[k] = v
+    if kind == "sock":
+        if "address" not in kv or "version" not in kv:
+            return None
+        try:
+            version = int(kv["version"])
+        except ValueError:
+            return None
+        return {
+            "kind": "sock",
+            "address": kv["address"],
+            "version": version,
+            "username": kv.get("username"),
+            "password": kv.get("password"),
+        }
+    if kind == "http":
+        if "address" not in kv:
+            return None
+        return {"kind": "http", "address": kv["address"]}
+    if kind == "auto-config":
+        if "address" not in kv:
+            return None
+        return {"kind": "auto-config", "address": kv["address"]}
+    if kind in ("auto-detect", "direct", "system"):
+        return {"kind": kind}
+    return None
+
+
+@dataclass
+class CrawlJob:
+    """The validated logical plan (reference CrawlConfig analog).
+
+    ``engines`` maps to the max in-flight URLs per wave: the reference
+    never dispatches more URLs than engines (``src/workload.rs:93-98``), so
+    wave size = engines. ``engines=None`` lifts the cap (scale mode: the
+    per-host politeness budget bounds the wave instead).
+    """
+
+    seeds: list[str] = field(default_factory=list)
+    filters: list[Filter] = field(default_factory=list)
+    limit: int | None = None  # O5: stop enqueueing once N results collected
+    engines: int | None = 1  # reference default: 1 (src/cfg.rs:23,249)
+    retry_policy: RetryPolicy = RetryPolicy.NO
+    retry_count: int = 3  # budget: count >= retry_count ⇒ give up
+    retry_threshold: float = 0.0  # logical waves until a retry ripens
+    use_robots: bool = False
+    robot: str = DEFAULT_ROBOT
+    url_key: str = "parity"  # 'parity' (url::Url equality) | 'surt'
+    # --- scale knobs (north_star extensions; no reference analog) ---
+    per_host_budget: int | None = None  # max URLs per host per wave
+    wave_seconds: float = 30.0  # politeness: budget = wave_seconds/crawl_delay
+    salt_target_rows: int = 50_000  # repartition target per (host,salt) shard
+    max_iterations: int = 10_000
+    # CLI-fidelity no-ops (browser fetch does not exist here)
+    browser: str = "firefox"
+    proxy: dict | None = None
+    page_load_timeout_ms: int = 10_000
+
+    def __post_init__(self) -> None:
+        self.filters = squash_filters(list(self.filters))
+
+
+def job_from_argv(argv: list[str]) -> CrawlJob:
+    """C1 — the reference's 16-option CLI schema (src/cfg.rs:25-98) mapped
+    onto the spark-submit entry."""
+    p = argparse.ArgumentParser(prog="doonop-spark")
+    p.add_argument("urls", nargs="*")
+    p.add_argument("--seed-file")
+    p.add_argument("-j", "--count-searchers", type=int, default=1)
+    p.add_argument("--limit", type=int)
+    p.add_argument("-i", "--ignore", action="append", default=[])
+    p.add_argument("-f", "--filter", action="append", default=[])
+    p.add_argument("--retry-policy", default="no")
+    p.add_argument("--retry-count", type=int, default=3)
+    p.add_argument("--retry-threshold-milis", type=float, default=0.0)
+    p.add_argument("--use-robots-txt", action="store_true")
+    p.add_argument("--robot-name", default=DEFAULT_ROBOT)
+    p.add_argument("--browser", default="firefox")
+    p.add_argument("--proxy")
+    p.add_argument("--page-load-timeout", type=int, default=10_000)
+    p.add_argument("--url-key", default="parity", choices=["parity", "surt"])
+    a = p.parse_args(argv)
+
+    filters: list[Filter] = [RegexFilter(rx) for rx in a.ignore]
+    for spec in a.filter:
+        f = parse_filter_spec(spec)
+        if f is None:
+            raise ValueError(f"Failed to parse a filter: {spec!r}")
+        filters.append(f)
+
+    proxy = None
+    if a.proxy is not None:
+        proxy = parse_proxy(a.proxy)
+        if proxy is None:
+            raise ValueError("Failed to parse proxy setting")
+
+    seeds = list(a.urls)
+    if a.seed_file:
+        with open(a.seed_file) as f:
+            seeds += [ln.strip() for ln in f if ln.strip()]
+
+    return CrawlJob(
+        seeds=seeds,
+        filters=filters,
+        limit=a.limit,
+        engines=a.count_searchers,
+        retry_policy=parse_retry_policy(a.retry_policy),
+        retry_count=a.retry_count,
+        retry_threshold=a.retry_threshold_milis,
+        use_robots=a.use_robots_txt,
+        robot=a.robot_name,
+        url_key=a.url_key,
+        browser=parse_browser(a.browser),
+        proxy=proxy,
+        page_load_timeout_ms=a.page_load_timeout,
+    )

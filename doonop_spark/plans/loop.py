@@ -1,0 +1,409 @@
+"""run_crawl — the iterative wave driver (SURVEY.md §3; reference loop at
+``src/workload.rs:79-200``).
+
+One wave = one Catalyst-planned batch, mirroring one dispatch-collect
+cycle of the reference:
+
+1. **schedule** — pick the wave from the frontier: retry-policy priority,
+   LIFO seq order, ripeness, per-host politeness budget, global engine cap
+   (operators/schedule.py). Pure JVM.
+2. **fetch** — join the wave against the pages corpus on ``url`` (S4: the
+   corpus replaces the live WebDriver fetch). A URL missing from the
+   corpus is a terminal fetch error (E3: visited++, errors++, no result
+   row). An optional ``fault_schedule`` table ``(url, attempt, fault)``
+   injects ``timeout`` (retryable, E1/E2) and ``error`` faults per attempt.
+3. **extract** — Arrow UDFs over ``html``: out-links + flagship text
+   (byte-identical per URL). The wave is hot-host salted first so one
+   domain can't serialize the UDF stage.
+4. **expand** — posexplode links in page order, absolutize (P4), filter
+   (F5 before the dedup shuffle), canonical seen-key, within-batch dedup
+   (D3), anti-join the seen table (D1, optional bloom pre-filter), robots
+   gate (F6/F7: disallowed links are dropped silently but still enter the
+   seen set, exactly like the reference's pop-then-skip).
+5. **commit** — results/metrics appended, frontier/seen snapshotted via
+   TableIO, scalar state saved ⇒ exact resume at wave granularity.
+
+Termination: the schedule is empty (frontier exhausted — the reference's
+``job_counter == 0``), the artifact limit is reached (O5: in-flight
+results still land, so output may overshoot by up to one wave — the
+reference overshoots by up to the in-flight count), or max_iterations.
+
+Crawl-order parity: with ``engines=1`` every wave carries exactly one URL
+and the visit order is byte-identical to the reference's single-engine
+order (``src/lib.rs:117-134``); at any parallelism the final seen-set and
+result *set* are identical, only the interleaving differs — the same
+guarantee the reference offers (its multi-engine order is timing-dependent,
+``src/lib.rs:136-155``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from doonop_spark.functions.canonical import (
+    absolutize_links_udf,
+    host_expr,
+    surt_key_udf,
+    url_hash_col,
+)
+from doonop_spark.functions.extract import extract_links_udf, extract_text_udf
+from doonop_spark.operators.dedup import SEEN_COLS, anti_join_seen, dedup_within_batch
+from doonop_spark.operators.filters import apply_link_filters
+from doonop_spark.operators.robots import robots_gate
+from doonop_spark.operators.schedule import (
+    policy_order,
+    politeness_budget,
+    salt_for_skew,
+    select_wave,
+)
+from doonop_spark.plans.job import CrawlJob, RetryPolicy
+from doonop_spark.sources.seeds import seed_frontier, seeds_from_list
+from doonop_spark.sources.tables import MemoryTableIO, TableIO
+
+__all__ = ["Statistics", "CrawlResult", "run_crawl"]
+
+RESULTS_SCHEMA = (
+    "iteration int, dispatch_rank long, seq long, url string, depth int, data string"
+)
+
+
+@dataclass
+class Statistics:
+    """Reference ``Statistics`` (src/workload.rs:44-50)."""
+
+    count_errors: int = 0
+    count_retries: int = 0
+    count_visited: int = 0
+    count_collected: int = 0
+
+
+@dataclass
+class CrawlResult:
+    results: DataFrame  # collection order = (iteration, dispatch_rank)
+    metrics: DataFrame  # per-(iteration, host, status) lineage counts
+    stats: Statistics
+    seen: DataFrame
+    frontier: DataFrame  # rows never scheduled (non-empty iff limit hit)
+    iterations: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+def _empty_results(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], RESULTS_SCHEMA)
+
+
+def _empty_metrics(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "iteration int, host string, status string, n long"
+    )
+
+
+def _ukey(url: Column, url_key: str) -> Column:
+    return surt_key_udf(url) if url_key == "surt" else url
+
+
+def run_crawl(
+    spark: SparkSession,
+    job: CrawlJob,
+    corpus: DataFrame,
+    robots: DataFrame | None = None,
+    fault_schedule: DataFrame | None = None,
+    io: TableIO | None = None,
+    data_expr: Column | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Crawl ``corpus`` from ``job.seeds``; see module docstring.
+
+    ``data_expr`` is the check-program surface (§2.10): a Column over the
+    fetched+extracted wave that becomes the collected ``data`` value. The
+    default is the flagship byte-identical text extraction; the
+    reference's default program (``return window.location.href``) is
+    ``F.col("url")``.
+    """
+    io = io or MemoryTableIO()
+
+    # ---- init / resume -----------------------------------------------------
+    state = io.load_state() if resume else None
+    stats = Statistics()
+    if state is not None:
+        iteration = state["iteration"]
+        seq_counter = state["seq_counter"]
+        collected = state["collected"]
+        fresh_count = state["fresh_count"]
+        stats = Statistics(**state["stats"])
+        frontier = io.load_table(spark, "frontier", iteration)
+        seen = io.load_table(spark, "seen", iteration)
+    else:
+        cleaned = seeds_from_list(job.seeds, job.filters)
+        if not cleaned:
+            # reference: empty seed ⇒ empty result, zero stats
+            # (src/workload.rs:81-83)
+            empty = _empty_results(spark)
+            return CrawlResult(
+                empty, _empty_metrics(spark), stats,
+                empty.select(url_hash_col(F.col("url")).alias("url_hash"),
+                             F.col("url").alias("ukey")),
+                empty, 0,
+            )
+        frontier = seed_frontier(spark, cleaned, job.url_key)
+        # seeds pass the robots gate at dispatch; enqueue-time seen insert
+        seen = frontier.select(*SEEN_COLS)
+        iteration = 0
+        seq_counter = len(cleaned)
+        collected = 0
+        fresh_count = len(cleaned)
+        frontier = io.materialize(frontier, "frontier", 0)
+        seen = io.materialize(seen, "seen", 0)
+        io.save_state(
+            {
+                "iteration": 0,
+                "seq_counter": seq_counter,
+                "collected": collected,
+                "fresh_count": fresh_count,
+                "stats": vars(stats),
+            }
+        )
+
+    budgets = (
+        politeness_budget(robots, job.wave_seconds, job.robot)
+        if (robots is not None and job.use_robots)
+        else None
+    )
+    parity_seq = job.engines is not None and job.engines <= 64
+
+    # ---- the loop (reference src/workload.rs:79-200) -----------------------
+    waves_run = 0
+    while iteration < job.max_iterations:
+        # O5: the limit gates *scheduling*, not landing — the first wave
+        # always dispatches (the reference dispatches seeds before any
+        # inc_limit), and overshoot is ≤ one wave, the analog of the
+        # reference's ≤ in-flight-count overshoot (src/workload.rs:127-131)
+        if job.limit is not None and waves_run > 0 and collected >= job.limit:
+            break
+
+        wave = select_wave(
+            frontier,
+            job.retry_policy,
+            job.engines,
+            now=float(iteration),
+            fresh_empty=fresh_count == 0,
+            per_host_budget=budgets,
+            default_budget=job.per_host_budget,
+        )
+        # dispatch_rank fixes the deterministic "completion order" within
+        # the wave (the reference's multi-engine completion order is
+        # wall-clock; ours is the dispatch order, stable at any
+        # parallelism). Parity mode ranks by the exact policy order; scale
+        # mode avoids the single-partition sort — ordering within a wave is
+        # not observable there anyway.
+        if parity_seq:
+            wave = wave.withColumn(
+                "dispatch_rank",
+                F.row_number().over(Window.orderBy(*policy_order(job.retry_policy))),
+            )
+        else:
+            wave = wave.withColumn("dispatch_rank", F.monotonically_increasing_id())
+        wave = io.materialize(wave, "wave", iteration)
+        if wave.isEmpty():
+            break  # nothing dispatchable: job_counter == 0 (src/workload.rs:178)
+        waves_run += 1
+
+        gated = robots_gate(wave, robots, job.robot, job.use_robots)
+        if job.salt_target_rows:
+            gated = salt_for_skew(gated, job.salt_target_rows)
+
+        # ---- fetch (corpus join) + fault injection + extraction ----------
+        fetched = gated.join(corpus, on="url", how="left")
+        attempt = F.col("retry_count") + 1
+        if fault_schedule is not None:
+            fs = fault_schedule.select(
+                F.col("url").alias("__furl"),
+                F.col("attempt").alias("__fattempt"),
+                F.col("fault").alias("__fault"),
+            )
+            fetched = fetched.join(
+                F.broadcast(fs),
+                (fetched["url"] == fs["__furl"]) & (attempt == fs["__fattempt"]),
+                "left",
+            ).drop("__furl", "__fattempt")
+        else:
+            fetched = fetched.withColumn("__fault", F.lit(None).cast("string"))
+        fetched = fetched.withColumn(
+            "status",
+            F.when(F.col("__fault").isNotNull(), F.col("__fault")).otherwise(
+                F.when(F.col("html").isNotNull(), F.lit("ok")).otherwise(F.lit("error"))
+            ),
+        )
+        ok = F.col("status") == "ok"
+        fetched = fetched.select(
+            "url",
+            "ukey",
+            "url_hash",
+            "host",
+            "depth",
+            "seq",
+            "is_retry",
+            "retry_count",
+            "retry_at",
+            "dispatch_rank",
+            "status",
+            F.when(ok, extract_links_udf("html")).alias("out_links"),
+            F.when(ok, extract_text_udf("html")).alias("text"),
+        )
+        fetched = io.materialize(fetched, "wave_fetched", iteration)
+
+        # ---- stats (one tiny collect) + per-host lineage metrics ---------
+        counts = {
+            (r["status"], r["is_retry"]): r["n"]
+            for r in fetched.groupBy("status", "is_retry")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_wave = sum(counts.values())  # may be 0: whole wave robots-skipped
+        n_ok = sum(v for (s, _), v in counts.items() if s == "ok")
+        n_timeout = sum(v for (s, _), v in counts.items() if s == "timeout")
+        n_error = sum(v for (s, _), v in counts.items() if s == "error")
+
+        stats.count_visited += n_wave
+        stats.count_collected += n_ok
+        if job.retry_policy == RetryPolicy.NO:
+            # timeouts are ordinary terminal errors under policy No
+            stats.count_errors += n_error + n_timeout
+        else:
+            stats.count_errors += n_error
+            stats.count_retries += n_timeout
+        collected += n_ok
+
+        io.append(
+            fetched.groupBy("host", "status")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(iteration).alias("iteration"), "host", "status", "n"),
+            "metrics",
+            iteration,
+        )
+
+        # ---- results (collection order preserved via dispatch_rank) ------
+        results_wave = fetched.filter(ok).select(
+            F.lit(iteration).alias("iteration"),
+            F.col("dispatch_rank").cast("long"),
+            "seq",
+            "url",
+            "depth",
+            (data_expr if data_expr is not None else F.col("text")).alias("data"),
+        )
+        io.append(results_wave, "results", iteration)
+
+        # ---- expand: links → frontier candidates (P1,P4,F5,D3,D1,F6) -----
+        links = (
+            fetched.filter(ok & (F.size("out_links") > 0))
+            .withColumn("abs_links", absolutize_links_udf(F.col("url"), F.col("out_links")))
+            .select(
+                F.col("dispatch_rank").alias("parent_rank"),
+                F.col("depth").alias("parent_depth"),
+                F.posexplode("abs_links").alias("pos", "link"),
+            )
+        )
+        links = apply_link_filters(links, job.filters, url_col="link")
+        links = links.select(
+            F.col("link").alias("url"),
+            _ukey(F.col("link"), job.url_key).alias("ukey"),
+            "parent_rank",
+            "parent_depth",
+            "pos",
+        ).withColumn("url_hash", url_hash_col(F.col("ukey")))
+        links = dedup_within_batch(links, [F.asc("parent_rank"), F.asc("pos")])
+        new_links = anti_join_seen(links, seen)
+
+        # all newly-discovered links enter the seen set at enqueue time
+        # (D1, src/workload.rs:202-211) — even those robots later rejects
+        seen_new = new_links.select(*SEEN_COLS)
+        admitted = robots_gate(
+            new_links.withColumn("host", host_expr(F.col("url"))),
+            robots,
+            job.robot,
+            job.use_robots,
+        )
+
+        # seq: monotone enqueue counter continuing the reference's append
+        # order (parent completion order, then in-page position)
+        if parity_seq:
+            admitted = admitted.withColumn(
+                "__rn",
+                F.row_number().over(Window.orderBy(F.asc("parent_rank"), F.asc("pos"))),
+            )
+        else:
+            # scale path: order within a wave is not observable (any
+            # parallel crawl interleaves); keep seq unique + monotone per
+            # wave without a single-partition sort
+            admitted = admitted.withColumn(
+                "__rn", F.monotonically_increasing_id() + 1
+            )
+        enqueue = admitted.select(
+            "url",
+            "ukey",
+            "url_hash",
+            "host",
+            (F.col("parent_depth") + 1).alias("depth"),
+            (F.col("__rn") + F.lit(seq_counter)).alias("seq"),
+            F.lit(False).alias("is_retry"),
+            F.lit(0).alias("retry_count"),
+            F.lit(0.0).alias("retry_at"),
+        )
+
+        # ---- retries (E2, O3/O4) ------------------------------------------
+        if job.retry_policy != RetryPolicy.NO:
+            timeouts = fetched.filter(F.col("status") == "timeout")
+            # keep_retry: count += 1; count >= budget ⇒ terminal (D2)
+            requeue = timeouts.filter(F.col("retry_count") + 1 < F.lit(job.retry_count)).select(
+                "url",
+                "ukey",
+                "url_hash",
+                "host",
+                "depth",
+                "seq",
+                F.lit(True).alias("is_retry"),
+                (F.col("retry_count") + 1).alias("retry_count"),
+                (F.lit(float(iteration + 1)) + F.lit(job.retry_threshold)).alias("retry_at"),
+            )
+        else:
+            requeue = None
+
+        # ---- commit the wave ----------------------------------------------
+        remaining = frontier.join(wave.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti")
+        new_frontier = remaining.unionByName(enqueue)
+        if requeue is not None:
+            new_frontier = new_frontier.unionByName(requeue)
+
+        iteration += 1
+        frontier = io.materialize(new_frontier, "frontier", iteration)
+        seen = io.materialize(seen.unionByName(seen_new), "seen", iteration)
+        # one count on the materialized frontier keeps fresh/seq bookkeeping
+        agg = frontier.agg(
+            F.coalesce(F.sum(F.when(~F.col("is_retry"), 1).otherwise(0)), F.lit(0)),
+            F.coalesce(F.max("seq"), F.lit(seq_counter)),
+        ).collect()[0]
+        fresh_count = int(agg[0])
+        seq_counter = max(seq_counter, int(agg[1]))
+        io.save_state(
+            {
+                "iteration": iteration,
+                "seq_counter": seq_counter,
+                "collected": collected,
+                "fresh_count": fresh_count,
+                "stats": vars(stats),
+            }
+        )
+
+    results = io.read_appended(spark, "results")
+    metrics = io.read_appended(spark, "metrics")
+    return CrawlResult(
+        results if results is not None else _empty_results(spark),
+        metrics if metrics is not None else _empty_metrics(spark),
+        stats,
+        seen,
+        frontier,
+        iteration,
+    )
