@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 (plus
+the training-data operator suite) over the driver's parquet tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for everything
+SQL-expressible. Column names/aliases match pairwise so the driver's
+order-insensitive value-hash comparison is meaningful. Timestamps are
+projected as unix microseconds on both sides to dodge dialect formatting.
+
+Non-SQL-expressible entries (iterative crawl internals aside — the BFS
+*result set* IS expressible and oracled; MinHash/SimHash/winnowing use
+engine-specific hashes) are listed in ``queries()`` without an oracle,
+giving the driver's weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +18,582 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_url(j):
+    """Must stay in lockstep with doonop_spark.sources.corpus.pages_from_documents."""
+    return F.concat(
+        F.lit("http://h"),
+        F.lpad((j % 20).cast("string"), 4, "0"),
+        F.lit(".example/d"),
+        j.cast("string"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl kernels (SURVEY.md §2) over the driver tables
+# ---------------------------------------------------------------------------
+
+def q_seed_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: sort+dedup+filter of a seed list (synthesized from documents)."""
+    docs = _read(spark, sf_dir, "documents")
+    seeds = docs.select(_doc_url(F.col("doc_id") % 50).alias("url"))
+    return (
+        seeds.dropDuplicates(["url"])
+        .filter(~F.col("url").rlike("/h0003\\."))
+        .orderBy("url")
+    )
+
+
+def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: candidates ∖ seen via left-anti join."""
+    ev = _read(spark, sf_dir, "events")
+    cand = ev.filter(F.col("event_id") % 2 == 0).select("event_id")
+    seen = ev.filter(F.col("event_id") % 3 == 0).select("event_id")
+    return cand.join(seen, "event_id", "left_anti")
+
+
+def q_batch_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: first occurrence per key in batch order (ts, event_id)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+
+
+def q_domain_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: allow-list with www-strip semantics (sources stand in for hosts)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(
+        F.regexp_replace(F.col("source"), "^www\\.", "").isin("src1", "src7", "src13")
+    ).select("doc_id", "source")
+
+
+def q_regex_ignore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: drop rows the ignore-regex matches (full-string search)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(~F.col("text").rlike("merge [a-z]+ scan")).select("doc_id")
+
+
+def q_lifo_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O6: LIFO top-k — the wave the scheduler would dispatch."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+
+
+def q_retry_ripeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: ripe retries — past-deadline rows, ripest first."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") <= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+
+
+def q_retry_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: RetryFirst policy ordering — retry class before fresh, then LIFO."""
+    ev = _read(spark, sf_dir, "events")
+    prio = F.when(F.col("event_type") == "error", 0).otherwise(1)
+    return (
+        ev.orderBy(prio.asc(), F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select("event_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12: per-status metrics rollup."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host budget: at most 3 rows per user_id, newest first."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: host extraction from synthesized URLs (JVM regex path)."""
+    docs = _read(spark, sf_dir, "documents")
+    url = _doc_url(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(url, "^[a-z]+://([^/]+)", 1).alias("host"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (SQL-expressible subset): lowercase scheme/host + strip :80."""
+    docs = _read(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://H"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".Example.COM:80/p"),
+        F.col("doc_id").cast("string"),
+    )
+    norm = F.regexp_replace(
+        F.concat(F.lit("http://"), F.lower(F.regexp_extract(messy, "^[A-Za-z]+://([^/]+)", 1))),
+        ":80$",
+        "",
+    )
+    path = F.regexp_extract(messy, "^[A-Za-z]+://[^/]+(/.*)$", 1)
+    return docs.select("doc_id", F.concat(norm, path).alias("url"))
+
+
+def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship e2e: BFS crawl of the corpus derived from documents
+    (binary-tree links ⇒ every doc reachable from doc 0). The oracle is the
+    closed form of the reachable set: every document, with byte-identical
+    extracted text as data."""
+    from doonop_spark.plans.job import CrawlJob
+    from doonop_spark.plans.loop import run_crawl
+    from doonop_spark.sources.corpus import pages_from_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = pages_from_documents(spark, docs, n_hosts=20)
+    job = CrawlJob(
+        seeds=["http://h0000.example/d0"],
+        engines=None,
+        per_host_budget=100_000,
+        salt_target_rows=0,
+    )
+    res = run_crawl(spark, job, corpus)
+    return res.results.select("url", "data")
+
+
+# ---------------------------------------------------------------------------
+# training-data operator suite
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.operators.textdedup import dedup_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_exact(docs, "doc_id", "text")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.functions.text import token_count_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.functions.text import quality_features, quality_score_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_words"].alias("n_words"),
+        q["n_punct"].alias("n_punct"),
+        q["n_digit"].alias("n_digit"),
+        q["n_stop"].alias("n_stop"),
+        quality_score_expr(F.col("text")).cast("boolean").alias("is_quality"),
+    )
+
+
+def q_lang_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.functions.text import quality_score_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("is_quality", quality_score_expr(F.col("text")))
+        .groupBy("lang", "is_quality")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.operators.textdedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8).select(
+        "id_a", "id_b", "shared", "n_a", "n_b"
+    )
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (engine-specific hashes ⇒ rows-only
+    oracle; exactness vs the Jaccard oracle is covered in tests/)."""
+    from doonop_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.operators.textdedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.functions.text import winnow_fingerprint_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    fp = winnow_fingerprint_udf(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+    )
+
+
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.functions.text import lang_id_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id_udf(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return ivf_topk(emb, queries, k=10, n_lists=16, n_probe=16).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.operators.textdedup import embedding_cosine_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.95).select(
+        "id_a", "id_b"
+    )
+
+
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fan-out plumbing: media synthesized from documents
+    (every 5th doc is a 'video' of n_chars*10 ms), frames every 1000 ms."""
+    from doonop_spark.functions.multimodal import sample_frames
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(320).alias("width"),
+        F.lit(240).alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode plumbing over opaque binary payloads (deterministic fake
+    codec ⇒ rows-only oracle)."""
+    from doonop_spark.functions.multimodal import decode_media
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+    return decode_media(media).select("media_id", "mean", "std")
+
+
+# ---------------------------------------------------------------------------
+# relational building blocks (joins/aggs the engine composes; §2.13 note)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped agg; money in integer cents so both engines hash
+    identically (no float summation drift)."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(disc_cents).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + top-k (broadcast dim join)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full BFS crawl of the corpus derived from the sf0.001
+    documents table — byte-identical text per URL."""
+    return q_crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "seed_clean": q_seed_clean,
+        "seen_anti_join": q_seen_anti_join,
+        "batch_dedup_first": q_batch_dedup_first,
+        "domain_allow_filter": q_domain_allow_filter,
+        "regex_ignore_filter": q_regex_ignore_filter,
+        "lifo_schedule": q_lifo_schedule,
+        "retry_ripeness": q_retry_ripeness,
+        "retry_priority_order": q_retry_priority_order,
+        "stats_agg": q_stats_agg,
+        "politeness_topk": q_politeness_topk,
+        "host_extract": q_host_extract,
+        "url_normalize": q_url_normalize,
+        "crawl_bfs": q_crawl_bfs,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_quality_breakdown": q_lang_quality_breakdown,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "lang_id_heuristic": q_lang_id_heuristic,
+        "ann_topk_exact": q_ann_topk_exact,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        "frame_sampling": q_frame_sampling,
+        "multimodal_decode": q_multimodal_decode,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    doc_url = (
+        "'http://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')"
+        " || '.example/d' || CAST(doc_id AS VARCHAR)"
+    )
+    seed_url = (
+        "'http://h' || lpad(CAST((doc_id % 50) % 20 AS VARCHAR), 4, '0')"
+        " || '.example/d' || CAST(doc_id % 50 AS VARCHAR)"
+    )
+    tokens = "regexp_split_to_array(trim(text), '\\s+')"
+    n_words = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({tokens}) END"
+    n_punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    n_digit = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+    n_stop = (
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        " w -> w IN ('the','and','of','to','a','in','is','that'))) END"
+    )
+    is_quality = (
+        f"(length(text) >= 10 AND length(text) <= 100000 AND {n_words} >= 3"
+        f" AND {n_alpha} <= {n_words} * 20 AND {n_alpha} >= {n_words}"
+        f" AND {n_digit} * 3 <= {n_alpha}"
+        f" AND ({n_punct} > 0 OR {n_stop} > 0))"
+    )
+    shingles = (
+        f"CASE WHEN trim(text) = '' THEN [] "
+        f"WHEN {n_words} <= 5 THEN [array_to_string({tokens}, ' ')] "
+        f"ELSE list_transform(generate_series(1, {n_words} - 4),"
+        f" i -> array_to_string({tokens}[i:i+4], ' ')) END"
+    )
+    return {
+        "seed_clean": f"""
+            SELECT DISTINCT {seed_url} AS url FROM documents
+            WHERE NOT regexp_matches({seed_url}, '/h0003\\.')
+            ORDER BY url
+        """,
+        "seen_anti_join": """
+            SELECT event_id FROM events
+            WHERE event_id % 2 = 0
+              AND event_id NOT IN (SELECT event_id FROM events WHERE event_id % 3 = 0)
+        """,
+        "batch_dedup_first": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+              SELECT user_id, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "domain_allow_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE regexp_replace(source, '^www\\.', '') IN ('src1','src7','src13')
+        """,
+        "regex_ignore_filter": """
+            SELECT doc_id FROM documents
+            WHERE NOT regexp_matches(text, 'merge [a-z]+ scan')
+        """,
+        "lifo_schedule": """
+            SELECT event_id, epoch_us(ts) AS ts_us FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 100
+        """,
+        "retry_ripeness": """
+            SELECT event_id, epoch_us(ts) AS ts_us FROM events
+            WHERE ts <= TIMESTAMP '2024-01-05 00:00:00'
+            ORDER BY ts ASC, event_id ASC LIMIT 100
+        """,
+        "retry_priority_order": """
+            SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events
+            ORDER BY (CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) ASC,
+                     ts DESC, event_id DESC
+            LIMIT 100
+        """,
+        "stats_agg": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "politeness_topk": """
+            SELECT user_id, event_id, rn FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "host_extract": f"""
+            SELECT doc_id, regexp_extract({doc_url}, '^[a-z]+://([^/]+)', 1) AS host
+            FROM documents
+        """,
+        "url_normalize": """
+            SELECT doc_id,
+                   'http://h' || CAST(doc_id % 9 AS VARCHAR) || '.example.com/p'
+                     || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        """,
+        "crawl_bfs": f"""
+            SELECT {doc_url} AS url, text AS data FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "token_count": f"""
+            SELECT doc_id, {n_words} AS n_tokens FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id, length(text) AS n_chars, {n_words} AS n_words,
+                   {n_punct} AS n_punct, {n_digit} AS n_digit, {n_stop} AS n_stop,
+                   {is_quality} AS is_quality
+            FROM documents
+        """,
+        "lang_quality_breakdown": f"""
+            SELECT lang, {is_quality} AS is_quality, count(*) AS n,
+                   sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang, is_quality
+        """,
+        "ngram_jaccard_dedup": f"""
+            WITH sh AS (
+              SELECT doc_id AS doc, list_distinct({shingles}) AS s FROM documents
+              WHERE len({shingles}) > 0
+            ), ex AS (
+              SELECT doc, unnest(list_distinct(s)) AS shingle FROM sh
+            ), counts AS (
+              SELECT doc, len(list_distinct(s)) AS n_sh FROM sh
+            ), shared AS (
+              SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS shared
+              FROM ex a JOIN ex b USING (shingle)
+              WHERE a.doc < b.doc GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b
+            FROM shared
+            JOIN counts ca ON ca.doc = id_a
+            JOIN counts cb ON cb.doc = id_b
+            WHERE shared * 1000000 >= 800000 * (ca.n_sh + cb.n_sh - shared)
+        """,
+        "frame_sampling": """
+            SELECT doc_id AS media_id,
+                   unnest(range(0, n_chars * 10, 1000)) AS frame_ts_ms
+            FROM documents WHERE doc_id % 5 = 0 AND n_chars * 10 >= 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT l_orderkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY l_orderkey
+            ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
+        """,
+        "ann_topk_exact": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id ASC) AS rank
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5) q
+              CROSS JOIN embeddings c)
+            WHERE rank <= 10
+        """,
+    }

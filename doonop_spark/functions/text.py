@@ -1,0 +1,178 @@
+"""Text-analysis functions for large-scale training-data pipelines over a
+crawled corpus: language-ID, quality scoring, token counting, document
+fingerprinting, shingling.
+
+These extend the reference crawler (which stops at link/text extraction,
+``src/backend.rs:89-123``) with the post-crawl operators a 100 TB
+web-text pipeline needs. Design rule: everything countable stays in JVM
+whole-stage codegen (``F.*`` expressions over the ``documents`` table);
+Python appears only in Arrow-batched UDFs for the genuinely
+non-expressible kernels (language-ID scoring, winnowing fingerprints),
+vectorized with numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "token_count_expr",
+    "word_shingles_expr",
+    "quality_features",
+    "quality_score_expr",
+    "lang_id_udf",
+    "winnow_fingerprint_udf",
+    "content_hash_expr",
+]
+
+_WS = r"\s+"
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count, JVM-side. Empty/blank text counts 0."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, _WS))
+    )
+
+
+def word_shingles_expr(text: Column, k: int = 5) -> Column:
+    """Word k-gram shingles (array<string>), JVM-side: the input to MinHash
+    / Jaccard dedup. A document with fewer than k words yields a single
+    shingle of all its words (so short docs still dedup exactly)."""
+    words = F.split(F.trim(text), _WS)
+    n = F.size(words)
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.when(
+            n <= k, F.array(F.array_join(words, " "))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            )
+        )
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic quality features (Gopher/C4-style), all JVM expressions:
+    lengths, punctuation density, stopword hits, alpha ratio, mean word
+    length. Integers/exact where possible so a SQL oracle can reproduce
+    them bit-for-bit."""
+    n_chars = F.length(text)
+    n_words = token_count_expr(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(text)), _WS),
+            lambda w: w.isin("the", "and", "of", "to", "a", "in", "is", "that"),
+        )
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_stop": F.when(F.trim(text) == "", F.lit(0)).otherwise(n_stop),
+    }
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Boolean keep/drop verdict from integer comparisons only (oracle-
+    reproducible): 10..100000 chars, ≥3 words, mean word length 1..20,
+    digits under a third of letters, some punctuation or stopwords."""
+    q = quality_features(text)
+    mean_wl_ok = (q["n_alpha"] <= q["n_words"] * 20) & (q["n_alpha"] >= q["n_words"])
+    return (
+        (q["n_chars"] >= 10)
+        & (q["n_chars"] <= 100_000)
+        & (q["n_words"] >= 3)
+        & mean_wl_ok
+        & (q["n_digit"] * 3 <= q["n_alpha"])
+        & ((q["n_punct"] > 0) | (q["n_stop"] > 0))
+    )
+
+
+# --- language ID (heuristic n-gram/stopword scorer; Arrow-batched) ---------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"),
+    "es": ("el", "la", "los", "y", "es", "que", "una", "por", "con", "para"),
+    "it": ("il", "la", "che", "e", "di", "un", "per", "sono", "una", "del"),
+}
+
+
+def lang_id_py(text: str | None) -> str | None:
+    """Stopword-vote language ID; 'und' (undetermined) when nothing hits."""
+    if text is None:
+        return None
+    words = text.lower().split()
+    if not words:
+        return "und"
+    best, best_n = "und", 0
+    for lang, markers in _LANG_MARKERS.items():
+        m = set(markers)
+        n = sum(1 for w in words if w in m)
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    return pd.Series([lang_id_py(t) for t in text], dtype="object")
+
+
+# --- document fingerprinting (winnowing over a rolling hash) ----------------
+
+def _rolling_hashes(s: str, k: int) -> np.ndarray:
+    """Karp-Rabin rolling hash of every k-gram of ``s`` (uint64)."""
+    if len(s) < k:
+        s = s.ljust(k)
+    b = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)))
+    base = 1000003
+    powers = np.array(
+        [pow(base, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        return (windows * powers).sum(axis=1)
+
+
+def winnow_fingerprint_py(text: str | None, k: int = 8, window: int = 4) -> list[int] | None:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): min rolling hash
+    per window of k-gram hashes → a compact, position-robust fingerprint
+    set. Deterministic; sorted unique values returned."""
+    if text is None:
+        return None
+    if not text:
+        return []
+    h = _rolling_hashes(text, k)
+    if len(h) <= window:
+        sel = np.array([h.min()], dtype=np.uint64)
+    else:
+        w = np.lib.stride_tricks.sliding_window_view(h, window)
+        sel = w.min(axis=1)
+    out = np.unique(sel).astype(np.int64)  # two's-complement into BIGINT
+    return out.tolist()
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fingerprint_udf(text: pd.Series) -> pd.Series:
+    return pd.Series([winnow_fingerprint_py(t) for t in text], dtype="object")
+
+
+def content_hash_expr(text: Column) -> Column:
+    """Exact-dup key: xxhash64 of the raw text (JVM)."""
+    return F.xxhash64(text)

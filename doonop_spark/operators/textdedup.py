@@ -1,0 +1,273 @@
+"""Corpus deduplication suite for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale shapes (the point of each variant at 100 TB):
+
+- **exact**: one hash-groupBy shuffle on ``xxhash64(text)`` — map-side
+  partial aggregation collapses most duplicates before the exchange.
+- **n-gram Jaccard (exact near-dup)**: explode word shingles → self-join
+  on shingle → pair-count — quadratic in worst case, the *oracle* for the
+  approximate variants at test scale.
+- **MinHash+LSH**: per-doc signature of ``n_hashes`` permutation minima
+  (numpy over Arrow batches; shingle hashing stays JVM ``xxhash64``),
+  banded into ``n_bands`` buckets; only same-bucket pairs are candidates
+  (the shuffle carries band keys, not shingles), then verified by exact
+  signature similarity. Linear shuffle volume — the 100 TB path.
+- **SimHash**: 64-bit weighted-bit fingerprint; near-dup = small Hamming
+  distance, bucketed by 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ one of
+  four chunks equal).
+- **embedding cosine**: see operators/similarity.py; here wrapped as a
+  pair-producing dedup.
+
+All pair outputs are canonical ``(id_a < id_b)`` and deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from doonop_spark.functions.text import word_shingles_expr
+
+__all__ = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signature_udf",
+    "minhash_lsh_pairs",
+    "simhash_udf",
+    "simhash_pairs",
+    "embedding_cosine_pairs",
+]
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keeper = min id per identical text. Returns
+    ``(keeper_id, n_dups)`` per distinct text — pure hash aggregate, one
+    shuffle, map-side combine free from Catalyst."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"), F.col(text_col))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+        .select("keeper_id", "n_dups")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode distinct word k-gram
+    shingles, self-join on shingle, count shared, test
+    ``shared / (n_a + n_b - shared) >= threshold`` via integer cross-
+    multiplication (no float drift, oracle-reproducible)."""
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles_expr(F.col(text_col), k)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    counts = shingled.select("doc", F.size("sh").alias("n_sh"))
+    ex = shingled.select("doc", F.explode("sh").alias("shingle"))
+    a = ex.select(F.col("doc").alias("id_a"), "shingle")
+    b = ex.select(F.col("doc").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    num = int(round(threshold * 1_000_000))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(
+            F.col("shared") * 1_000_000
+            >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
+    )
+
+
+def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic affine permutation parameters over the Mersenne prime
+    2^61-1 (fixed seed: reproducible signatures across runs/executors)."""
+    rng = np.random.default_rng(0xD00)
+    a = rng.integers(1, int(_MERSENNE), size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(n_hashes: int = 128):
+    """Arrow UDF: array<long> shingle hashes (JVM xxhash64) → array<long>
+    MinHash signature via ``min((a_i * h + b_i) mod (2^61-1))`` computed as
+    one numpy matrix op per batch."""
+    a, b = _minhash_params(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64) % _MERSENNE
+            # (n_hashes, n_shingles) affine transform, wraparound-safe
+            m = (np.outer(a, hv) + b[:, None]) % _MERSENNE
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out, dtype="object")
+
+    return _sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs.
+
+    Pipeline: JVM shingling → JVM xxhash64 per shingle → numpy MinHash
+    signature → explode ``n_bands`` band keys (xxhash64 of the band slice)
+    → self-join on (band, key) → candidate pairs → verified by estimated
+    Jaccard = fraction of agreeing signature components ≥ threshold.
+    The shuffle carries only (band_key, id) pairs — never shingles.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature_udf(n_hashes)
+    shingle_hashes = F.transform(
+        F.array_distinct(word_shingles_expr(F.col(text_col), k)),
+        lambda s: F.xxhash64(s),
+    )
+    signed = df.select(
+        F.col(id_col).alias("doc"), sig(shingle_hashes).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    signed = signed.persist()
+
+    bands = signed.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), ",")
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    sa = signed.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signed.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda p, q: p == q),
+            lambda eq: eq,
+        )
+    )
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", agree / F.lit(n_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return out
+
+
+def simhash_udf(n_bits: int = 64):
+    """Arrow UDF: array<long> token hashes → 64-bit SimHash (weighted bit
+    voting, numpy-vectorized per batch)."""
+
+    @F.pandas_udf(T.LongType())
+    def _sim(hashes: pd.Series) -> pd.Series:
+        out = []
+        masks = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = (hv[:, None] & masks[None, :]) != 0  # (n_tokens, 64)
+            votes = bits.sum(axis=0) * 2 - len(hv)  # +1/-1 voting
+            val = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                val |= masks[i]
+            out.append(np.int64(val))
+        return pd.Series(out, dtype="object")
+
+    return _sim
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by each of the four 16-bit chunks
+    (pigeonhole guarantees distance ≤ 3 pairs share a chunk), verify
+    Hamming distance JVM-side via bit_count(xor)."""
+    sim = simhash_udf()
+    tokens = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
+    )
+    hashed = df.select(F.col(id_col).alias("doc"), sim(tokens).alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    chunks = hashed.select(
+        "doc",
+        "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("chunk", "key"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "key"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup pairs via brute-force cosine ≥ threshold
+    (test-scale oracle; the LSH-bucketed scale path lives in
+    operators/similarity.py)."""
+    from doonop_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

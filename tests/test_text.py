@@ -1,0 +1,73 @@
+"""Text-analysis kernels: token count, shingles, quality, lang-id,
+winnowing fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doonop_spark.functions.text import (
+    lang_id_py,
+    quality_score_expr,
+    token_count_expr,
+    winnow_fingerprint_py,
+    word_shingles_expr,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one",)], "t string"
+    )
+    got = [r.n for r in df.select(token_count_expr(F.col("t")).alias("n")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    got = df.select(word_shingles_expr(F.col("t"), 3).alias("s")).first().s
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "t string")
+    assert short.select(word_shingles_expr(F.col("t"), 3).alias("s")).first().s == ["a b"]
+    empty = spark.createDataFrame([("",)], "t string")
+    assert empty.select(word_shingles_expr(F.col("t"), 3).alias("s")).first().s == []
+
+
+def test_quality_score(spark):
+    rows = [
+        ("The quick brown fox jumps over the lazy dog.", True),
+        ("x", False),  # too short
+        ("1234 5678 9012 3456", False),  # all digits
+        ("a b", False),  # too few words
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = [r.q for r in df.select(quality_score_expr(F.col("t")).alias("q")).collect()]
+    assert got == [e for _, e in rows]
+
+
+def test_lang_id():
+    assert lang_id_py("the cat sat on the mat and it was good") == "en"
+    assert lang_id_py("der Hund und die Katze ist nicht da") == "de"
+    assert lang_id_py("le chat est dans la maison pour les vacances") == "fr"
+    assert lang_id_py("") == "und"
+    assert lang_id_py(None) is None
+
+
+def test_winnow_fingerprint_properties():
+    a = winnow_fingerprint_py("the quick brown fox jumps over the lazy dog")
+    b = winnow_fingerprint_py("the quick brown fox jumps over the lazy dog")
+    assert a == b  # deterministic
+    # robust to a small suffix edit: most fingerprints shared
+    c = winnow_fingerprint_py("the quick brown fox jumps over the lazy cat")
+    shared = len(set(a) & set(c))
+    assert shared / len(a) > 0.5
+    assert winnow_fingerprint_py("") == []
+    assert winnow_fingerprint_py(None) is None
+
+
+def test_lang_distribution_on_documents(spark):
+    from doonop_spark.functions.text import lang_id_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = docs.select(lang_id_udf("text").alias("lang")).groupBy("lang").count()
+    langs = {r.lang for r in out.collect()}
+    assert langs  # runs end-to-end over real data
