@@ -41,6 +41,7 @@ __all__ = [
     "extract_text_py",
     "extract_links_udf",
     "extract_text_udf",
+    "extract_page_udf",
     "DEFAULT_CHECK_PROGRAM",
 ]
 
@@ -116,3 +117,37 @@ def extract_links_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     return pd.Series([extract_text_py(h) for h in html], dtype="object")
+
+
+# Fused P1+P2+P4 kernel: ONE Arrow stage computing links (already
+# absolutized against the page URL) and text. Fusing matters at scale:
+# each distinct ArrowEvalPython stage shape gets its own Python worker
+# pool (spawn ≈ 0.5 s/worker, serialized — measured), and `html` crosses
+# the JVM↔Arrow boundary once instead of twice.
+_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_PAGE_SCHEMA)
+def extract_page_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    from doonop_spark.functions.canonical import absolutize
+
+    links: list[list[str] | None] = []
+    texts: list[str | None] = []
+    for base, h in zip(url, html):
+        raw = extract_links_py(h)
+        if raw is None:
+            links.append(None)
+        else:
+            out = []
+            for href in raw:
+                a = absolutize(base, href)
+                if a is not None:
+                    out.append(a)
+            links.append(out)
+        texts.append(extract_text_py(h))
+    return pd.DataFrame({"links": links, "text": texts})

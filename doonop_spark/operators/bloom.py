@@ -1,0 +1,163 @@
+"""Partitioned bloom sidecar for the seen set (north_rule: "partitioned
+bloom/cuckoo URL-seen filter").
+
+At 10^10 seen URLs the exact anti-join is correct but every wave shuffles
+the candidate links against the full seen table. The sidecar is a bank of
+``n_partitions`` bloom filters, partition ``p = url_hash mod P`` covering
+the seen keys whose hash lands in ``p``. Probing is driver-free and
+shuffle-free: the bit bank broadcasts to executors (sized at ~1.2 bytes/
+key for 1% FP it is ~12 GB at 10^10 — per-partition banks can instead be
+co-partitioned with the links and merged incrementally; this sandbox build
+broadcasts) and a vectorized numpy UDF marks each candidate "maybe seen".
+Rows marked maybe-seen continue to the exact anti-join; rows marked
+definitely-new skip it entirely. A false positive costs one extra exact
+probe — never a dropped URL; correctness stays with the anti-join.
+
+Hashing: the k bloom probe positions derive from the already-computed
+``xxhash64(url)`` via the Kirsch-Mitzenmacher double-hashing trick
+(h1 + i*h2), so Python never re-hashes URL strings.
+
+Build is a grouped Arrow aggregation: seen keys shuffle once by
+``pmod(url_hash, P)`` and each group folds its hashes into one bitset row
+``(pid, m, k, bits)`` — appendable per wave (bitsets OR together).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_bloom", "merge_bloom", "BloomBank", "bloom_probe"]
+
+BLOOM_SCHEMA = "pid int, m long, k int, n long, bits binary"
+
+
+def _params(expected_per_partition: int, fp_rate: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for n keys at the target FP rate."""
+    n = max(expected_per_partition, 1)
+    m = int(-n * math.log(fp_rate) / (math.log(2) ** 2))
+    m = max(64, (m + 63) // 64 * 64)  # word-align
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _positions(hashes: np.ndarray, m: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Kirsch-Mitzenmacher: position_i = (h1 + i*h2) mod m, vectorized.
+    Returns (flat positions, per-hash view shape (n, k))."""
+    h = hashes.astype(np.uint64)
+    h1 = h % np.uint64(m)
+    h2 = (h >> np.uint64(33) | np.uint64(1)) % np.uint64(m)
+    i = np.arange(k, dtype=np.uint64)
+    pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+    return pos.ravel(), pos
+
+
+def build_bloom(
+    seen: DataFrame,
+    n_partitions: int = 64,
+    expected_per_partition: int = 1_000_000,
+    fp_rate: float = 0.01,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Seen keys → one bloom row per hash partition (BLOOM_SCHEMA)."""
+    m, k = _params(expected_per_partition, fp_rate)
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        hashes = pdf[hash_col].to_numpy(dtype=np.int64)
+        pos, _ = _positions(hashes, m, k)
+        np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "pid": [int(key[0])],
+                "m": [m],
+                "k": [k],
+                "n": [len(pdf)],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return (
+        seen.select(F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int").alias("pid"), hash_col)
+        .groupBy("pid")
+        .applyInPandas(fold, schema=BLOOM_SCHEMA)
+    )
+
+
+def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two bloom banks (same pid/m/k) — incremental per-wave update."""
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["m"].iloc[0])
+        k = int(pdf["k"].iloc[0])
+        acc = np.zeros(m // 8, dtype=np.uint8)
+        for raw in pdf["bits"]:
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "pid": [int(key[0])],
+                "m": [m],
+                "k": [k],
+                "n": [int(pdf["n"].sum())],
+                "bits": [acc.tobytes()],
+            }
+        )
+
+    return a.unionByName(b).groupBy("pid").applyInPandas(fold, schema=BLOOM_SCHEMA)
+
+
+class BloomBank:
+    """Driver-held, broadcast-ready view of a bloom bank."""
+
+    def __init__(self, rows):
+        self.m = int(rows[0]["m"])
+        self.k = int(rows[0]["k"])
+        self.p = max(int(r["pid"]) for r in rows) + 1
+        self.bits: dict[int, np.ndarray] = {
+            int(r["pid"]): np.frombuffer(r["bits"], dtype=np.uint8) for r in rows
+        }
+
+    @classmethod
+    def collect(cls, bloom_df: DataFrame) -> "BloomBank":
+        rows = bloom_df.collect()
+        if not rows:
+            raise ValueError("empty bloom bank")
+        return cls(rows)
+
+    def maybe_seen(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized probe: True = maybe seen; False = definitely new."""
+        out = np.zeros(len(hashes), dtype=bool)
+        if len(hashes) == 0:
+            return out
+        h = hashes.astype(np.int64)
+        pids = (h % self.p + self.p) % self.p
+        _, pos = _positions(h, self.m, self.k)
+        byte_idx = (pos // 8).astype(np.int64)
+        bit_mask = (1 << (pos % 8)).astype(np.uint8)
+        for pid in np.unique(pids):
+            sel = pids == pid
+            bank = self.bits.get(int(pid))
+            if bank is None:
+                continue  # no seen keys in this partition: definitely new
+            hit = (bank[byte_idx[sel]] & bit_mask[sel]) != 0
+            out[sel] = hit.all(axis=1)
+        return out
+
+
+def bloom_probe(spark, bloom_df: DataFrame):
+    """Return a Column-producing probe ``f(url_hash_col) -> Boolean`` for
+    :func:`doonop_spark.operators.dedup.anti_join_seen`. The bank is
+    broadcast once; probing is a numpy lookup per Arrow batch."""
+    bank = BloomBank.collect(bloom_df)
+    b = spark.sparkContext.broadcast(bank)
+
+    @F.pandas_udf("boolean")
+    def _probe(h: pd.Series) -> pd.Series:
+        res = b.value.maybe_seen(h.to_numpy(dtype=np.int64))
+        return pd.Series(res)
+
+    return lambda col: _probe(col)

@@ -44,12 +44,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doonop_spark.functions.canonical import (
-    absolutize_links_udf,
     host_expr,
     surt_key_udf,
     url_hash_col,
 )
-from doonop_spark.functions.extract import extract_links_udf, extract_text_udf
+from doonop_spark.functions.extract import extract_page_udf
 from doonop_spark.operators.dedup import SEEN_COLS, anti_join_seen, dedup_within_batch
 from doonop_spark.operators.filters import apply_link_filters
 from doonop_spark.operators.robots import robots_gate
@@ -135,7 +134,10 @@ def run_crawl(
         fresh_count = state["fresh_count"]
         stats = Statistics(**state["stats"])
         frontier = io.load_table(spark, "frontier", iteration)
-        seen = io.load_table(spark, "seen", iteration)
+        # drop orphan appends from a wave that died before its state commit
+        for t in ("seen", "results", "metrics"):
+            io.prune_appends(t, iteration)
+        seen = io.read_appended(spark, "seen")
     else:
         cleaned = seeds_from_list(job.seeds, job.filters)
         if not cleaned:
@@ -149,14 +151,17 @@ def run_crawl(
                 empty, 0,
             )
         frontier = seed_frontier(spark, cleaned, job.url_key)
-        # seeds pass the robots gate at dispatch; enqueue-time seen insert
-        seen = frontier.select(*SEEN_COLS)
         iteration = 0
         seq_counter = len(cleaned)
         collected = 0
         fresh_count = len(cleaned)
         frontier = io.materialize(frontier, "frontier", 0)
-        seen = io.materialize(seen, "seen", 0)
+        # the seen table is append-only (monotone, §2.9): store per-wave
+        # DELTAS and anti-join against their union — rewriting the full
+        # seen set every wave would be O(total²) over the crawl. Seeds are
+        # the wave "-1" delta (enqueue-time insert, src/workload.rs:205).
+        io.append(frontier.select(*SEEN_COLS), "seen", -1)
+        seen = io.read_appended(spark, "seen")
         io.save_state(
             {
                 "iteration": 0,
@@ -238,7 +243,10 @@ def run_crawl(
             ),
         )
         ok = F.col("status") == "ok"
-        fetched = fetched.select(
+        # fused P1+P2+P4: one Arrow stage yields absolutized links + text
+        fetched = fetched.withColumn(
+            "__page", F.when(ok, extract_page_udf("url", "html"))
+        ).select(
             "url",
             "ukey",
             "url_hash",
@@ -250,8 +258,8 @@ def run_crawl(
             "retry_at",
             "dispatch_rank",
             "status",
-            F.when(ok, extract_links_udf("html")).alias("out_links"),
-            F.when(ok, extract_text_udf("html")).alias("text"),
+            F.col("__page.links").alias("out_links"),
+            F.col("__page.text").alias("text"),
         )
         fetched = io.materialize(fetched, "wave_fetched", iteration)
 
@@ -297,14 +305,10 @@ def run_crawl(
         io.append(results_wave, "results", iteration)
 
         # ---- expand: links → frontier candidates (P1,P4,F5,D3,D1,F6) -----
-        links = (
-            fetched.filter(ok & (F.size("out_links") > 0))
-            .withColumn("abs_links", absolutize_links_udf(F.col("url"), F.col("out_links")))
-            .select(
-                F.col("dispatch_rank").alias("parent_rank"),
-                F.col("depth").alias("parent_depth"),
-                F.posexplode("abs_links").alias("pos", "link"),
-            )
+        links = fetched.filter(ok & (F.size("out_links") > 0)).select(
+            F.col("dispatch_rank").alias("parent_rank"),
+            F.col("depth").alias("parent_depth"),
+            F.posexplode("out_links").alias("pos", "link"),  # already absolute
         )
         links = apply_link_filters(links, job.filters, url_col="link")
         links = links.select(
@@ -316,6 +320,10 @@ def run_crawl(
         ).withColumn("url_hash", url_hash_col(F.col("ukey")))
         links = dedup_within_batch(links, [F.asc("parent_rank"), F.asc("pos")])
         new_links = anti_join_seen(links, seen)
+        # materialize once: the seen delta, the robots gate and the frontier
+        # union all branch from here — without this the explode/absolutize/
+        # anti-join pipeline would run three times
+        new_links = io.materialize(new_links, "new_links", iteration)
 
         # all newly-discovered links enter the seen set at enqueue time
         # (D1, src/workload.rs:202-211) — even those robots later rejects
@@ -377,9 +385,10 @@ def run_crawl(
         if requeue is not None:
             new_frontier = new_frontier.unionByName(requeue)
 
+        io.append(seen_new, "seen", iteration)
         iteration += 1
         frontier = io.materialize(new_frontier, "frontier", iteration)
-        seen = io.materialize(seen.unionByName(seen_new), "seen", iteration)
+        seen = io.read_appended(spark, "seen")
         # one count on the materialized frontier keeps fresh/seq bookkeeping
         agg = frontier.agg(
             F.coalesce(F.sum(F.when(~F.col("is_retry"), 1).otherwise(0)), F.lit(0)),

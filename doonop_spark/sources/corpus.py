@@ -95,6 +95,7 @@ def synthetic_corpus(
     hot_share: float = 0.3,
     cross_link_every: int = 7,
     partitions: int | None = None,
+    filler_words: int = 0,
 ) -> DataFrame:
     """Deterministic site graph of ``n_pages`` total pages over ``n_hosts``
     hosts. Host 0 ("the hot host") owns ``hot_share`` of all pages; the
@@ -138,6 +139,17 @@ def synthetic_corpus(
         i.cast("string"),
         F.lit("."),
     )
+    if filler_words > 0:
+        # deterministic page-varying filler so bench pages have realistic
+        # (KB-scale) bodies and the extract stage is genuinely CPU-bound
+        filler = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(filler_words)),
+                lambda w: F.concat(F.lit("w"), F.pmod(w * 2654435761 + i, F.lit(9973)).cast("string")),
+            ),
+            " ",
+        )
+        text = F.concat(text, F.lit(" "), filler)
     return df.select(
         page_url(h, p).alias("url"),
         (F.to_timestamp(F.lit(_EPOCH)) + F.make_dt_interval(secs=i)).alias("warc_ts"),

@@ -57,6 +57,11 @@ class TableIO:
     def load_table(self, spark: SparkSession, name: str, iteration: int) -> DataFrame:
         raise NotImplementedError
 
+    def prune_appends(self, name: str, max_iteration: int) -> None:
+        """Drop appended parts with iteration >= max_iteration — orphans
+        from a wave that died between append and state commit. No-op for
+        in-memory state (no resume there)."""
+
 
 class MemoryTableIO(TableIO):
     """In-memory backend: localCheckpoint cuts lineage; appends accumulate
@@ -149,6 +154,14 @@ class SnapshotTableIO(TableIO):
 
     def load_table(self, spark: SparkSession, name: str, iteration: int) -> DataFrame:
         return spark.read.parquet(self._dir(name, iteration))
+
+    def prune_appends(self, name: str, max_iteration: int) -> None:
+        base = os.path.join(self.root, name)
+        if not os.path.isdir(base):
+            return
+        for d in os.listdir(base):
+            if d.startswith("part_iter=") and int(d.split("=")[1]) >= max_iteration:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
 def open_table_io(kind: str = "memory", root: str | None = None) -> TableIO:
