@@ -55,6 +55,56 @@ def policy_order(policy: RetryPolicy):
     ]
 
 
+def _budget_window(cand: DataFrame, order, per_host_budget, default_budget) -> DataFrame:
+    """Per-host top-k via window row_number — JVM-side, one shuffle by host."""
+    w = Window.partitionBy("host").orderBy(*order)
+    cand = cand.withColumn("__rn", F.row_number().over(w))
+    if per_host_budget is not None:
+        b = F.broadcast(
+            per_host_budget.select(
+                F.col("host").alias("__bhost"), F.col("budget").alias("__budget")
+            )
+        )
+        cand = cand.join(b, cand["host"] == b["__bhost"], "left").drop("__bhost")
+        budget = F.coalesce(F.col("__budget"), F.lit(default_budget or 2**31 - 1))
+    else:
+        budget = F.lit(default_budget)
+    return cand.filter((F.col("__rn") <= budget) | F.col("host").isNull()).drop(
+        "__rn", "__budget"
+    )
+
+
+def _budget_pandas(
+    cand: DataFrame, policy: RetryPolicy, per_host_budget, default_budget
+) -> DataFrame:
+    """Per-host grouped priority queue via applyInPandas (north_star's
+    stated shape) — use when the per-host rule needs imperative logic
+    (custom priorities, token buckets); the window variant is otherwise
+    equivalent and cheaper."""
+    budgets: dict[str, int] = {}
+    if per_host_budget is not None:
+        budgets = {r["host"]: int(r["budget"]) for r in per_host_budget.collect()}
+    default = default_budget if default_budget is not None else 2**31 - 1
+    retry_first = policy == RetryPolicy.FIRST
+    schema = cand.schema
+
+    def take(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        host = key[0]
+        n = budgets.get(host, default)
+        if host is None:
+            n = len(pdf)  # hostless rows are never budget-bound (F7 analog)
+        prio = pdf["is_retry"].fillna(False).astype(int)
+        if retry_first:
+            prio = 1 - prio
+        eff_retry_at = pdf["retry_at"].where(pdf["is_retry"].fillna(False), 0.0)
+        order = pd.DataFrame(
+            {"p": prio, "r": eff_retry_at, "s": -pdf["seq"]}
+        ).sort_values(["p", "r", "s"]).index
+        return pdf.loc[order].head(n)
+
+    return cand.groupBy("host").applyInPandas(take, schema=schema)
+
+
 def select_wave(
     frontier: DataFrame,
     policy: RetryPolicy,
@@ -63,13 +113,16 @@ def select_wave(
     fresh_empty: bool,
     per_host_budget: DataFrame | None = None,
     default_budget: int | None = None,
+    impl: str = "window",
 ) -> DataFrame:
     """Pick the next wave from the frontier.
 
     ``per_host_budget`` is an optional tiny table ``(host, budget)``
     (derived from robots Crawl-delay) broadcast onto the frontier;
     ``default_budget`` caps hosts without an entry. ``wave_size`` is the
-    reference's engine bound (global top-k).
+    reference's engine bound (global top-k). ``impl`` selects the
+    politeness enforcement: 'window' (JVM) or 'pandas' (applyInPandas
+    grouped priority queue).
     """
     ripe = ~F.col("is_retry") | (F.col("retry_at") <= F.lit(now)) | F.lit(fresh_empty)
     cand = frontier.filter(ripe)
@@ -79,22 +132,10 @@ def select_wave(
     order = policy_order(policy)
 
     if per_host_budget is not None or default_budget is not None:
-        # per-host top-k: shuffle by host only (window), no global sort
-        w = Window.partitionBy("host").orderBy(*order)
-        cand = cand.withColumn("__rn", F.row_number().over(w))
-        if per_host_budget is not None:
-            b = F.broadcast(
-                per_host_budget.select(
-                    F.col("host").alias("__bhost"), F.col("budget").alias("__budget")
-                )
-            )
-            cand = cand.join(b, cand["host"] == b["__bhost"], "left").drop("__bhost")
-            budget = F.coalesce(F.col("__budget"), F.lit(default_budget or 2**31 - 1))
+        if impl == "pandas":
+            cand = _budget_pandas(cand, policy, per_host_budget, default_budget)
         else:
-            budget = F.lit(default_budget)
-        cand = cand.filter(
-            (F.col("__rn") <= budget) | F.col("host").isNull()
-        ).drop("__rn", "__budget")
+            cand = _budget_window(cand, order, per_host_budget, default_budget)
 
     if wave_size is not None:
         # global policy order — exact reference dispatch order (O1/O2/O6).

@@ -27,8 +27,38 @@ __all__ = [
     "parse_retry_policy",
     "parse_proxy",
     "parse_browser",
+    "open_code_file",
     "job_from_argv",
 ]
+
+# the reference's default check program (src/cfg.rs:344-346): identity on
+# the page URL. Our flagship program is 'text' (input_hint: byte-identical
+# extracted text per url).
+DEFAULT_CODE = "return window.location.href"
+
+
+def open_code_file(path: str | None, fmt: str | None = None) -> tuple[str, str]:
+    """S3 — check-file scan with the reference's format sniffing
+    (src/cfg.rs:162-183): explicit ``--check-file-format`` first
+    ('side'/'json' ⇒ side, 'js' ⇒ js), then the extension; neither ⇒ hard
+    error. Returns (program_text, 'js'|'side'). The program text selects a
+    registered extraction; 'js' text equal to the default program maps to
+    the identity-on-url Column (see plans/loop.py data_expr)."""
+    if path is None:
+        return DEFAULT_CODE, "js"
+    with open(path) as f:
+        content = f.read()
+    if fmt in ("side", "json"):
+        t = "side"
+    elif fmt == "js":
+        t = "js"
+    elif path.endswith(".js"):
+        t = "js"
+    elif path.endswith(".side") or path.endswith(".json"):
+        t = "side"
+    else:
+        raise ValueError("Failed to determine a format of a check file")
+    return content, t
 
 
 class RetryPolicy(str, Enum):
@@ -123,6 +153,14 @@ class CrawlJob:
     wave_seconds: float = 30.0  # politeness: budget = wave_seconds/crawl_delay
     salt_target_rows: int = 50_000  # repartition target per (host,salt) shard
     max_iterations: int = 10_000
+    # extraction program surface (§2.10): 'text' = flagship byte-exact
+    # extraction; 'url' = the reference's default JS program
+    # (return window.location.href ≡ F.col("url")); run_crawl's data_expr
+    # argument overrides with an arbitrary Column
+    check: str = "text"
+    # politeness implementation: 'window' (JVM row_number, default) or
+    # 'pandas' (applyInPandas grouped priority queue, for custom rules)
+    politeness_impl: str = "window"
     # CLI-fidelity no-ops (browser fetch does not exist here)
     browser: str = "firefox"
     proxy: dict | None = None
@@ -151,6 +189,8 @@ def job_from_argv(argv: list[str]) -> CrawlJob:
     p.add_argument("--proxy")
     p.add_argument("--page-load-timeout", type=int, default=10_000)
     p.add_argument("--url-key", default="parity", choices=["parity", "surt"])
+    p.add_argument("--check-file")
+    p.add_argument("--check-file-format")
     a = p.parse_args(argv)
 
     filters: list[Filter] = [RegexFilter(rx) for rx in a.ignore]
@@ -171,7 +211,11 @@ def job_from_argv(argv: list[str]) -> CrawlJob:
         with open(a.seed_file) as f:
             seeds += [ln.strip() for ln in f if ln.strip()]
 
+    code, _code_type = open_code_file(a.check_file, a.check_file_format)
+    check = "url" if code.strip().rstrip(";") == DEFAULT_CODE else "text"
+
     return CrawlJob(
+        check=check,
         seeds=seeds,
         filters=filters,
         limit=a.limit,

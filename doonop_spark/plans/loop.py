@@ -113,16 +113,24 @@ def run_crawl(
     io: TableIO | None = None,
     data_expr: Column | None = None,
     resume: bool = False,
+    cancel=None,
 ) -> CrawlResult:
     """Crawl ``corpus`` from ``job.seeds``; see module docstring.
 
     ``data_expr`` is the check-program surface (§2.10): a Column over the
     fetched+extracted wave that becomes the collected ``data`` value. The
-    default is the flagship byte-identical text extraction; the
-    reference's default program (``return window.location.href``) is
-    ``F.col("url")``.
+    default follows ``job.check``: 'text' = flagship byte-identical text
+    extraction; 'url' = the reference's default program
+    (``return window.location.href`` ≡ the page URL).
+
+    ``cancel`` (threading.Event-like) is the ctrl-c analog (X3,
+    src/main.rs:41-48): when set, the current wave drains and commits,
+    then the loop stops — everything collected so far is returned and the
+    checkpoint is resumable.
     """
     io = io or MemoryTableIO()
+    if data_expr is None and job.check == "url":
+        data_expr = F.col("url")
 
     # ---- init / resume -----------------------------------------------------
     state = io.load_state() if resume else None
@@ -182,6 +190,8 @@ def run_crawl(
     # ---- the loop (reference src/workload.rs:79-200) -----------------------
     waves_run = 0
     while iteration < job.max_iterations:
+        if cancel is not None and cancel.is_set():
+            break  # graceful shutdown: previous wave fully committed
         # O5: the limit gates *scheduling*, not landing — the first wave
         # always dispatches (the reference dispatches seeds before any
         # inc_limit), and overshoot is ≤ one wave, the analog of the
@@ -197,6 +207,7 @@ def run_crawl(
             fresh_empty=fresh_count == 0,
             per_host_budget=budgets,
             default_budget=job.per_host_budget,
+            impl=job.politeness_impl,
         )
         # dispatch_rank fixes the deterministic "completion order" within
         # the wave (the reference's multi-engine completion order is
