@@ -156,7 +156,7 @@ def measure_level(cores: int, corpus_path: str) -> list[float]:
     ensure_corpus(spark, corpus_path, SCALE_PAGES)
     corpus = spark.read.parquet(corpus_path).persist()
     corpus.count()
-    for _ in range(2):
+    for _ in range(3):  # JIT/worker convergence takes ~2 full runs (measured)
         frontier_throughput(spark, corpus, SCALE_PAGES)
     runs = [frontier_throughput(spark, corpus, SCALE_PAGES) for _ in range(SCALE_RUNS)]
     spark.stop()

@@ -296,12 +296,15 @@ def run_crawl(
             stats.count_retries += n_timeout
         collected += n_ok
 
+        # per-host lineage metrics derive from the checkpointed wave; lazy
+        # in memory mode (only read at loop end), written in durable mode
         io.append(
             fetched.groupBy("host", "status")
             .agg(F.count("*").alias("n"))
             .select(F.lit(iteration).alias("iteration"), "host", "status", "n"),
             "metrics",
             iteration,
+            eager=False,
         )
 
         # ---- results (collection order preserved via dispatch_rank) ------
@@ -313,7 +316,7 @@ def run_crawl(
             "depth",
             (data_expr if data_expr is not None else F.col("text")).alias("data"),
         )
-        io.append(results_wave, "results", iteration)
+        io.append(results_wave, "results", iteration, eager=False)
 
         # ---- expand: links → frontier candidates (P1,P4,F5,D3,D1,F6) -----
         links = fetched.filter(ok & (F.size("out_links") > 0)).select(

@@ -42,7 +42,10 @@ class TableIO:
     def materialize(self, df: DataFrame, name: str, iteration: int) -> DataFrame:
         raise NotImplementedError
 
-    def append(self, df: DataFrame, name: str, iteration: int) -> None:
+    def append(self, df: DataFrame, name: str, iteration: int, eager: bool = True) -> None:
+        """``eager=False`` permits a lazy append for tables only read after
+        the loop ends (results/metrics) — the in-memory backend then skips
+        the per-wave checkpoint job; durable backends always write."""
         raise NotImplementedError
 
     def read_appended(self, spark: SparkSession, name: str) -> DataFrame | None:
@@ -77,8 +80,13 @@ class MemoryTableIO(TableIO):
         self._live[name] = out
         return out
 
-    def append(self, df: DataFrame, name: str, iteration: int) -> None:
-        self._appended.setdefault(name, []).append(df.localCheckpoint(eager=True))
+    def append(self, df: DataFrame, name: str, iteration: int, eager: bool = True) -> None:
+        # a lazy append must still be valid after its upstream _live entry
+        # is replaced: it holds its own reference to the checkpointed RDDs
+        # it derives from, which keeps their blocks alive
+        self._appended.setdefault(name, []).append(
+            df.localCheckpoint(eager=True) if eager else df
+        )
 
     def read_appended(self, spark: SparkSession, name: str) -> DataFrame | None:
         frames = self._appended.get(name)
@@ -126,9 +134,9 @@ class SnapshotTableIO(TableIO):
             shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
         return out
 
-    def append(self, df: DataFrame, name: str, iteration: int) -> None:
+    def append(self, df: DataFrame, name: str, iteration: int, eager: bool = True) -> None:
         path = os.path.join(self.root, name, f"part_iter={iteration}")
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").parquet(path)  # durable: always written
 
     def read_appended(self, spark: SparkSession, name: str) -> DataFrame | None:
         base = os.path.join(self.root, name)
