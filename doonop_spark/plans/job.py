@@ -152,6 +152,15 @@ class CrawlJob:
     per_host_budget: int | None = None  # max URLs per host per wave
     wave_seconds: float = 30.0  # politeness: budget = wave_seconds/crawl_delay
     salt_target_rows: int = 50_000  # repartition target per (host,salt) shard
+    # waves at or below this row count broadcast into the corpus join
+    # (corpus probed in place, no shuffle). DISABLED by default: A/B runs
+    # showed AQE's runtime SortMergeJoin→BroadcastHashJoin conversion
+    # already covers small waves without this path's extra miss-branch
+    # materialization (70s vs 130s on a 400k-page crawl). Worth enabling
+    # only where the corpus scan itself must be avoided — i.e. a corpus
+    # bucketed/partitioned by xxhash64(url) where the broadcast join can
+    # prune storage partitions.
+    broadcast_wave_max: int = 0
     max_iterations: int = 10_000
     # extraction program surface (§2.10): 'text' = flagship byte-exact
     # extraction; 'url' = the reference's default JS program

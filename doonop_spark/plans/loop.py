@@ -223,56 +223,84 @@ def run_crawl(
         else:
             wave = wave.withColumn("dispatch_rank", F.monotonically_increasing_id())
         wave = io.materialize(wave, "wave", iteration)
-        if wave.isEmpty():
+        n_sched = wave.count()  # cheap: wave is checkpointed
+        if n_sched == 0:
             break  # nothing dispatchable: job_counter == 0 (src/workload.rs:178)
         waves_run += 1
 
         gated = robots_gate(wave, robots, job.robot, job.use_robots)
-        if job.salt_target_rows:
+        # salting is itself a shuffle — only worth it when the wave is big
+        # enough for hot-host skew to serialize the extract stage
+        if job.salt_target_rows and n_sched > job.salt_target_rows:
             gated = salt_for_skew(gated, job.salt_target_rows)
 
         # ---- fetch (corpus join) + fault injection + extraction ----------
-        fetched = gated.join(corpus, on="url", how="left")
-        attempt = F.col("retry_count") + 1
-        if fault_schedule is not None:
-            fs = fault_schedule.select(
-                F.col("url").alias("__furl"),
-                F.col("attempt").alias("__fattempt"),
-                F.col("fault").alias("__fault"),
+        def shape(joined: DataFrame) -> DataFrame:
+            """fault injection + status + fused extraction over a wave⋈corpus
+            frame (E1-E4 + P1/P2/P4)."""
+            attempt = F.col("retry_count") + 1
+            if fault_schedule is not None:
+                fs = fault_schedule.select(
+                    F.col("url").alias("__furl"),
+                    F.col("attempt").alias("__fattempt"),
+                    F.col("fault").alias("__fault"),
+                )
+                joined = joined.join(
+                    F.broadcast(fs),
+                    (joined["url"] == fs["__furl"]) & (attempt == fs["__fattempt"]),
+                    "left",
+                ).drop("__furl", "__fattempt")
+            else:
+                joined = joined.withColumn("__fault", F.lit(None).cast("string"))
+            joined = joined.withColumn(
+                "status",
+                F.when(F.col("__fault").isNotNull(), F.col("__fault")).otherwise(
+                    F.when(F.col("html").isNotNull(), F.lit("ok")).otherwise(
+                        F.lit("error")
+                    )
+                ),
             )
-            fetched = fetched.join(
-                F.broadcast(fs),
-                (fetched["url"] == fs["__furl"]) & (attempt == fs["__fattempt"]),
-                "left",
-            ).drop("__furl", "__fattempt")
+            # fused P1+P2+P4: one Arrow stage → absolutized links + text
+            return joined.withColumn(
+                "__page",
+                F.when(F.col("status") == "ok", extract_page_udf("url", "html")),
+            ).select(
+                "url",
+                "ukey",
+                "url_hash",
+                "host",
+                "depth",
+                "seq",
+                "is_retry",
+                "retry_count",
+                "retry_at",
+                "dispatch_rank",
+                "status",
+                F.col("__page.links").alias("out_links"),
+                F.col("__page.text").alias("text"),
+            )
+
+        # Small waves broadcast INTO the corpus join: the corpus (the 100 TB
+        # side) is probed in place instead of being shuffled under a
+        # sort-merge join. Outer joins cannot broadcast their preserved
+        # side, so fetch-misses (URLs absent from the corpus = terminal
+        # fetch errors, E3) are reconstructed with a second broadcast
+        # anti-join against the materialized hits — both joins stream the
+        # big side exactly once.
+        if n_sched <= job.broadcast_wave_max:
+            hits = corpus.join(F.broadcast(gated), on="url", how="inner")
+            fetched = io.materialize(shape(hits), "wave_fetched", iteration)
+            missed = gated.join(
+                F.broadcast(fetched.select("url")), on="url", how="left_anti"
+            ).withColumn("html", F.lit(None).cast("binary"))
+            # materialized too: a lazy miss branch would re-run its Arrow
+            # stage on every downstream action over `fetched`
+            missed = io.materialize(shape(missed), "wave_missed", iteration)
+            fetched = fetched.unionByName(missed)
         else:
-            fetched = fetched.withColumn("__fault", F.lit(None).cast("string"))
-        fetched = fetched.withColumn(
-            "status",
-            F.when(F.col("__fault").isNotNull(), F.col("__fault")).otherwise(
-                F.when(F.col("html").isNotNull(), F.lit("ok")).otherwise(F.lit("error"))
-            ),
-        )
+            joined = gated.join(corpus, on="url", how="left")
+            fetched = io.materialize(shape(joined), "wave_fetched", iteration)
         ok = F.col("status") == "ok"
-        # fused P1+P2+P4: one Arrow stage yields absolutized links + text
-        fetched = fetched.withColumn(
-            "__page", F.when(ok, extract_page_udf("url", "html"))
-        ).select(
-            "url",
-            "ukey",
-            "url_hash",
-            "host",
-            "depth",
-            "seq",
-            "is_retry",
-            "retry_count",
-            "retry_at",
-            "dispatch_rank",
-            "status",
-            F.col("__page.links").alias("out_links"),
-            F.col("__page.text").alias("text"),
-        )
-        fetched = io.materialize(fetched, "wave_fetched", iteration)
 
         # ---- stats (one tiny collect) + per-host lineage metrics ---------
         counts = {
