@@ -345,6 +345,52 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).select("media_id", "mean", "std")
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 with the partitioned bloom sidecar: candidates cleared by the
+    bloom as definitely-new skip the exact anti-join; output must equal
+    the plain anti-join (the oracle) — FPs only cost a probe."""
+    from doonop_spark.operators.bloom import bloom_probe, build_bloom
+    from doonop_spark.operators.dedup import anti_join_seen
+
+    docs = _read(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id"), key.alias("ukey"), F.xxhash64(key).alias("url_hash")
+    )
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        key.alias("ukey"), F.xxhash64(key).alias("url_hash")
+    )
+    bloom = build_bloom(seen, n_partitions=8, expected_per_partition=1024)
+    probe = bloom_probe(spark, bloom)
+    return anti_join_seen(cand, seen, probe).select("doc_id")
+
+
+def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 SURT mode: aggressive seen-key (host reversed, www stripped,
+    fragment dropped, query sorted) — the oracle is the closed form for
+    the synthesized URLs."""
+    from doonop_spark.functions.canonical import surt_key_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://WWW.h"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.ORG:80/d"),
+        F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    return docs.select("doc_id", surt_key_udf(url).alias("surt"))
+
+
+def q_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 5-gram shingling stats per document (the MinHash input)."""
+    from doonop_spark.functions.text import word_shingles_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = F.array_distinct(word_shingles_expr(F.col("text"), 5))
+    return docs.select("doc_id", F.size(sh).alias("n_shingles"))
+
+
 # ---------------------------------------------------------------------------
 # relational building blocks (joins/aggs the engine composes; §2.13 note)
 # ---------------------------------------------------------------------------
@@ -426,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "frame_sampling": q_frame_sampling,
         "multimodal_decode": q_multimodal_decode,
+        "bloom_dedup": q_bloom_dedup,
+        "surt_key": q_surt_key,
+        "shingles": q_shingles,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
     }
@@ -566,6 +615,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    unnest(range(0, n_chars * 10, 1000)) AS frame_ts_ms
             FROM documents WHERE doc_id % 5 = 0 AND n_chars * 10 >= 1
+        """,
+        "bloom_dedup": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        """,
+        "surt_key": """
+            SELECT doc_id,
+                   'org,example,h' || CAST(doc_id % 20 AS VARCHAR) || ')/d'
+                     || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS surt
+            FROM documents
+        """,
+        "shingles": f"""
+            SELECT doc_id, len(list_distinct({shingles})) AS n_shingles
+            FROM documents
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
