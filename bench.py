@@ -42,7 +42,7 @@ N_PAGES = max(4_000, int(4_000_000 * SF))
 # input beat more repetitions)
 SCALE_PAGES = N_PAGES * 4
 N_HOSTS = 50
-SCALE_RUNS = 3
+SCALE_RUNS = 5
 
 
 def session(cores: int) -> SparkSession:
@@ -156,7 +156,7 @@ def measure_level(cores: int, corpus_path: str) -> list[float]:
     ensure_corpus(spark, corpus_path, SCALE_PAGES)
     corpus = spark.read.parquet(corpus_path).persist()
     corpus.count()
-    for _ in range(3):  # JIT/worker convergence takes ~2 full runs (measured)
+    for _ in range(2):  # JIT/worker convergence takes ~2 full runs (measured)
         frontier_throughput(spark, corpus, SCALE_PAGES)
     runs = [frontier_throughput(spark, corpus, SCALE_PAGES) for _ in range(SCALE_RUNS)]
     spark.stop()
