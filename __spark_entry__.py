@@ -15,15 +15,30 @@ giving the driver's weaker rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+# the doonop_spark package lives next to this file; make imports work no
+# matter which working directory the driver loads the module from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_us():
+    """Epoch micros of the TIMESTAMP_NTZ events.ts, session-TZ-PROOF: pure
+    NTZ arithmetic matches DuckDB's naive epoch_us under any driver
+    session timezone (a tz-cast would shift by the session offset)."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
 
 
 def _doc_url(j):
@@ -66,7 +81,7 @@ def q_batch_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .select("user_id", "event_id", _ts_us().alias("ts_us"))
     )
 
 
@@ -90,7 +105,7 @@ def q_lifo_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(100)
-        .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .select("event_id", _ts_us().alias("ts_us"))
     )
 
 
@@ -98,10 +113,10 @@ def q_retry_ripeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: ripe retries — past-deadline rows, ripest first."""
     ev = _read(spark, sf_dir, "events")
     return (
-        ev.filter(F.col("ts") <= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        ev.filter(F.expr("ts <= TIMESTAMP_NTZ '2024-01-05 00:00:00'"))
         .orderBy(F.asc("ts"), F.asc("event_id"))
         .limit(100)
-        .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .select("event_id", _ts_us().alias("ts_us"))
     )
 
 
@@ -112,7 +127,7 @@ def q_retry_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.orderBy(prio.asc(), F.desc("ts"), F.desc("event_id"))
         .limit(100)
-        .select("event_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .select("event_id", "event_type", _ts_us().alias("ts_us"))
     )
 
 
