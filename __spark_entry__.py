@@ -604,7 +604,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_quality_breakdown": f"""
             SELECT lang, {is_quality} AS is_quality, count(*) AS n,
-                   sum(n_chars) AS sum_chars
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, is_quality
         """,
         "ngram_jaccard_dedup": f"""
@@ -647,16 +647,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "top_orders": """
             SELECT l_orderkey,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey

@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["build_bloom", "merge_bloom", "BloomBank", "bloom_probe"]
 
-BLOOM_SCHEMA = "pid int, m long, k int, n long, bits binary"
+# ``p`` (the bank's partition count) is carried EXPLICITLY in every row:
+# empty hash partitions emit no row from the groupBy build, so inferring
+# p as max(pid)+1 would under-count and probe with the wrong modulus —
+# false negatives, i.e. dropped-duplicate admission (never-drop violation).
+BLOOM_SCHEMA = "pid int, p int, m long, k int, n long, bits binary"
 
 
 def _params(expected_per_partition: int, fp_rate: float) -> tuple[int, int]:
@@ -74,6 +78,7 @@ def build_bloom(
         return pd.DataFrame(
             {
                 "pid": [int(key[0])],
+                "p": [n_partitions],
                 "m": [m],
                 "k": [k],
                 "n": [len(pdf)],
@@ -92,6 +97,8 @@ def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
     """OR two bloom banks (same pid/m/k) — incremental per-wave update."""
 
     def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["p"].nunique() != 1 or pdf["m"].nunique() != 1:
+            raise ValueError("merge_bloom: banks built with different p/m")
         m = int(pdf["m"].iloc[0])
         k = int(pdf["k"].iloc[0])
         acc = np.zeros(m // 8, dtype=np.uint8)
@@ -100,6 +107,7 @@ def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
         return pd.DataFrame(
             {
                 "pid": [int(key[0])],
+                "p": [int(pdf["p"].iloc[0])],
                 "m": [m],
                 "k": [k],
                 "n": [int(pdf["n"].sum())],
@@ -116,7 +124,9 @@ class BloomBank:
     def __init__(self, rows):
         self.m = int(rows[0]["m"])
         self.k = int(rows[0]["k"])
-        self.p = max(int(r["pid"]) for r in rows) + 1
+        # explicit partition count from the build (NOT max(pid)+1 — empty
+        # partitions emit no rows and would shrink the modulus)
+        self.p = int(rows[0]["p"])
         self.bits: dict[int, np.ndarray] = {
             int(r["pid"]): np.frombuffer(r["bits"], dtype=np.uint8) for r in rows
         }

@@ -59,6 +59,25 @@ def test_anti_join_equivalence(spark, seen):
     assert len(exact) == 2500
 
 
+def test_sparse_bank_no_false_negatives(spark):
+    """Regression: with far fewer seen keys than partitions, the highest
+    pids hold no rows. The bank must still probe with the BUILD-time
+    modulus (explicit ``p`` column), not max(pid)+1 — the old inference
+    marked actually-seen keys 'definitely new' (dropped-dup admission)."""
+    seen = (
+        spark.range(0, 50)
+        .select(F.concat(F.lit("http://s.example/"), F.col("id")).alias("ukey"))
+        .withColumn("url_hash", F.xxhash64("ukey"))
+    )
+    bloom = build_bloom(seen, n_partitions=64, expected_per_partition=64)
+    rows = bloom.collect()
+    assert len(rows) < 64  # precondition: some partitions really are empty
+    bank = BloomBank.collect(bloom)
+    assert bank.p == 64
+    hashes = np.array([r.url_hash for r in seen.collect()], dtype=np.int64)
+    assert bank.maybe_seen(hashes).all()
+
+
 def test_merge_bloom(spark):
     a = (
         spark.range(0, 1000)

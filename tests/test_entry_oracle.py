@@ -30,21 +30,25 @@ def duck():
     return con
 
 
+def _canon(v):
+    """TYPE-STRICT canonical value: tag every value with its python type so
+    int vs float never compare equal (2.7e10 == 27016392597 is True in
+    python — that leniency hid the DuckDB HUGEINT-sum bug from round 1;
+    the driver hashes typed values, so we must too)."""
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", round(v, 9))
+    return (type(v).__name__, v)
+
+
 def normalize(rows, cols):
-    """Order-insensitive canonical form: sort columns by name, coerce
-    values to plain python, sort rows."""
+    """Order-insensitive canonical form: sort columns by name, tag values
+    with their type (strict), sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            if isinstance(v, bool):
-                v = int(v)
-            vals.append(v)
-        out.append(tuple(vals))
+    out = [tuple(_canon(row[i]) for i in order) for row in rows]
     out.sort(key=repr)
     return [cols[i] for i in order], out
 
@@ -66,9 +70,12 @@ def test_oracle_match(spark, duck, name):
     s_rows = [tuple(r) for r in df.collect()]
     s_cols = list(df.columns)
 
-    res = duck.execute(entrymod.oracle_sql()[name])
-    d_cols = [c[0] for c in res.description]
-    d_rows = res.fetchall()
+    # fetch the oracle THROUGH ARROW, like the driver does: DuckDB HUGEINT
+    # (the sum() result type) surfaces as float64 in arrow, so an un-cast
+    # oracle sum() fails here exactly as it fails the driver's hash check
+    tbl = duck.execute(entrymod.oracle_sql()[name]).arrow()
+    d_cols = list(tbl.column_names)
+    d_rows = list(zip(*(tbl.column(c).to_pylist() for c in d_cols))) if d_cols else []
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
     assert len(s_rows) == len(d_rows), (
