@@ -306,6 +306,10 @@ def q_ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_lists probes EVERY list, so the result is
+    mathematically the brute-force top-k — the exact-scan DuckDB oracle
+    applies verbatim (recall at n_probe < n_lists is pinned in
+    tests/test_similarity.py)."""
     from doonop_spark.operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -315,13 +319,42 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket search (approximate ⇒ rows-only check;
+    recall vs brute force is pinned in tests/test_similarity.py)."""
+    from doonop_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return lsh_bucket_topk(emb, queries, k=10, n_planes=8, n_tables=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine dedup (the exact oracle path). Threshold 0.45 sits
+    in a >0.002-wide gap of the actual pairwise-cosine distribution at
+    sf0.01/sf0.1 (max pair ≈ 0.513), so the result is non-empty and
+    float32-vs-double boundary flips cannot occur."""
     from doonop_spark.operators.textdedup import embedding_cosine_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.95).select(
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).select(
         "id_a", "id_b"
     )
+
+
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: hyperplane-LSH-bucketed pair candidates, exact-cosine
+    verified (no false positives; recall < 1 by construction ⇒ rows-only
+    check here; containment + recall vs the brute-force oracle is pinned
+    in tests/test_textdedup.py)."""
+    from doonop_spark.operators.textdedup import embedding_lsh_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=16
+    ).select("id_a", "id_b")
 
 
 def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": q_lang_id_heuristic,
         "ann_topk_exact": q_ann_topk_exact,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "frame_sampling": q_frame_sampling,
         "multimodal_decode": q_multimodal_decode,
         "bloom_dedup": q_bloom_dedup,
@@ -673,5 +708,22 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5) q
               CROSS JOIN embeddings c)
             WHERE rank <= 10
+        """,
+        # n_probe = n_lists scans every inverted list ⇒ exactly brute force
+        "ann_topk_ivf": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id ASC) AS rank
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5) q
+              CROSS JOIN embeddings c)
+            WHERE rank <= 10
+        """,
+        "embedding_dedup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
     }

@@ -1,0 +1,124 @@
+"""``python -m doonop_spark`` — the executable entry (SURVEY.md §2.2
+K1/K2 + §3.1; reference ``src/main.rs:18-48``).
+
+Reproduces the reference sink contract byte-for-byte:
+
+- stdout: each collected value, one JSON document per line, in COLLECTION
+  order (``src/main.rs:36-38`` — ours is ``ORDER BY iteration,
+  dispatch_rank``, the deterministic analog of the reference's
+  completion order);
+- stderr: the summary line ``Statistics: visited N, collected N,
+  errors N, retries N`` (``src/main.rs:31-34``; golden asserted by
+  ``tests/crawling.rs:8-22``);
+- exit code 0 even for empty seeds (``tests/crawling.rs:4-11``).
+
+The reference fetches live pages; this engine fetches by joining a page
+corpus, so the one extension flag is ``--corpus`` (parquet path — plain or
+bucket-partitioned via ``write_bucketed_corpus``, with ``--corpus-buckets``
+enabling pruned fetches). All reference CLI options are accepted by
+``job_from_argv`` (C1, src/cfg.rs:25-98). Ctrl-c maps to the graceful
+drain-and-commit cancel (X3, src/main.rs:41-48).
+
+Cluster deployment: ``spark-submit --py-files doonop_spark.zip
+doonop_spark/__main__.py --corpus <iceberg/parquet path> <seeds...>`` —
+the session builder below only fills in a local master when none is
+configured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+import threading
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from doonop_spark.plans.job import job_from_argv
+from doonop_spark.plans.loop import run_crawl
+from doonop_spark.sources.tables import open_table_io
+
+
+def _session() -> SparkSession:
+    b = SparkSession.builder.appName("doonop-spark")
+    if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ.get(
+        "SPARK_SUBMIT_OPTS", ""
+    ):
+        b = b.master(os.environ.get("DOONOP_MASTER", "local[*]"))
+    return (
+        b.config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("DOONOP_SHUFFLE_PARTITIONS", "32"),
+        )
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    ext = argparse.ArgumentParser(add_help=False)
+    ext.add_argument("--corpus", required=True, help="pages corpus parquet path")
+    ext.add_argument("--corpus-buckets", type=int, default=0)
+    ext.add_argument("--robots-table", help="parquet path of (host, robots_txt)")
+    ext.add_argument("--table-root", help="durable checkpoint dir (resumable)")
+    ext.add_argument("--resume", action="store_true")
+    ours, rest = ext.parse_known_args(argv)
+
+    job = job_from_argv(rest)
+    job.corpus_buckets = ours.corpus_buckets
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(ours.corpus)
+    robots = (
+        spark.read.parquet(ours.robots_table) if ours.robots_table else None
+    )
+    io = (
+        open_table_io("snapshot", ours.table_root) if ours.table_root else None
+    )
+
+    # ctrl-c analog (src/main.rs:41-48): stop enqueueing, drain the wave,
+    # commit — everything collected so far is still printed
+    cancel = threading.Event()
+    try:
+        signal.signal(signal.SIGINT, lambda *_: cancel.set())
+    except ValueError:
+        pass  # not the main thread (e.g. under a test harness)
+
+    res = run_crawl(
+        spark, job, corpus, robots=robots, io=io, resume=ours.resume, cancel=cancel
+    )
+
+    # materialize the ordered values BEFORE stopping spark, emit AFTER —
+    # Spark writes its own shutdown logs to stderr, and the reference's
+    # golden asserts stderr *ends with* the stats line
+    # (tests/crawling.rs:8-10); the reference likewise holds Vec<Value> in
+    # driver RAM before printing (src/lib.rs:96-99)
+    values = [
+        row[0]
+        for row in res.results.orderBy(F.asc("iteration"), F.asc("dispatch_rank"))
+        .select("data")
+        .toLocalIterator()
+    ]
+    spark.stop()
+
+    # K2 (src/main.rs:31-34) — the final stderr line
+    s = res.stats
+    print(
+        f"Statistics: visited {s.count_visited}, collected {s.count_collected}, "
+        f"errors {s.count_errors}, retries {s.count_retries}",
+        file=sys.stderr,
+    )
+    # K1: one JSON value per line in collection order; a None data value is
+    # the reference's collected json!(null) (src/lib.rs:125-133)
+    for v in values:
+        sys.stdout.write(json.dumps(v, ensure_ascii=False) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,6 +127,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     explode-then-decode shape that keeps frame fan-out in Catalyst."""
     return (
         df.filter(F.col("kind") == "video")
+        # zero-length media yields NO frames (sequence(0, 0) would emit a
+        # phantom frame at t=0 for duration_ms=0)
+        .filter(F.col("duration_ms") >= 1)
         .select(
             "media_id",
             F.explode(

@@ -154,9 +154,12 @@ def crawl_delay_of(robots_txt: str | None, robot: str = DEFAULT_ROBOT) -> float 
 
 
 def _path_expr(url):
-    """JVM-side path+query of a canonical URL (robots rules match on it)."""
+    """JVM-side PATH of a canonical URL — path only, query excluded: the
+    reference matches ``url.path()`` (cylon ``allow(url.path())``,
+    src/robots.rs:79-81), so 'Disallow: /a$' disallows '/a' but NOT
+    '/a?x=1'. Empty path ⇒ '/'."""
     return F.coalesce(
-        F.nullif(F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([/?][^#]*)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]+(/[^?#]*)", 1), F.lit("")),
         F.lit("/"),
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine_expr",
     "brute_force_topk",
+    "signature_frame",
     "lsh_bucket_topk",
     "ivf_topk",
 ]
@@ -80,11 +81,14 @@ def brute_force_topk(
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = m @ q_mat.T  # (batch, n_queries)
             kk = min(k, len(ids))
-            # per-query partial top-k within this batch
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_q)
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
-                sel = idx[:, j]
+                # per-query partial top-k, TIE-AWARE: lexsort by
+                # (-cosine, id) so an exact-cosine tie at the kk boundary
+                # keeps the smaller neighbor_id — the same tiebreak the
+                # global window applies; argpartition alone kept an
+                # arbitrary tied row and could diverge from the oracle
+                sel = np.lexsort((ids, -sims[:, j]))[:kk]
                 out_q.extend([q_ids[j]] * len(sel))
                 out_n.extend(ids[sel].tolist())
                 out_s.extend(sims[sel, j].tolist())
@@ -110,22 +114,21 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
+def signature_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
     n_planes: int = 12,
     n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane signatures over
-    ``n_tables`` independent tables; a corpus row is scanned only when it
-    shares a bucket with the query in at least one table. Recall grows
-    with n_tables; scanned fraction ≈ n_tables / 2^n_planes of the corpus.
-    """
-    spark = corpus.sparkSession
-    dim = len(queries.select(vec_col).first()[0])
+    """Random-hyperplane LSH signatures: one row per input row with columns
+    ``id, b0..b{n_tables-1}`` — per-table bucket keys (sign-bit codes of
+    ``n_planes`` fixed-seed hyperplanes, table index folded into the key).
+    Shared by :func:`lsh_bucket_topk` (top-k search) and
+    ``operators.textdedup.embedding_lsh_pairs`` (pair dedup) so both bucket
+    identically. One numpy matmul per Arrow batch."""
+    spark = df.sparkSession
     planes = _hyperplanes(dim, n_planes * n_tables)
     bp = spark.sparkContext.broadcast(planes)
 
@@ -144,8 +147,26 @@ def lsh_bucket_topk(
             yield pd.DataFrame(rows)
 
     bschema = "id long, " + ", ".join(f"b{t} long" for t in range(n_tables))
-    c_sig = corpus.select(id_col, vec_col).mapInPandas(signer, schema=bschema)
-    q_sig = queries.select(id_col, vec_col).mapInPandas(signer, schema=bschema)
+    return df.select(id_col, vec_col).mapInPandas(signer, schema=bschema)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane signatures over
+    ``n_tables`` independent tables; a corpus row is scanned only when it
+    shares a bucket with the query in at least one table. Recall grows
+    with n_tables; scanned fraction ≈ n_tables / 2^n_planes of the corpus.
+    """
+    dim = len(queries.select(vec_col).first()[0])
+    c_sig = signature_frame(corpus, id_col, vec_col, dim, n_planes, n_tables)
+    q_sig = signature_frame(queries, id_col, vec_col, dim, n_planes, n_tables)
 
     stack = ", ".join(f"b{t}" for t in range(n_tables))
     c_b = c_sig.selectExpr("id", f"explode(array({stack})) as bucket").withColumnRenamed("id", "cid")

@@ -40,6 +40,7 @@ __all__ = [
     "simhash_udf",
     "simhash_pairs",
     "embedding_cosine_pairs",
+    "embedding_lsh_pairs",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -148,7 +149,11 @@ def minhash_lsh_pairs(
     signed = df.select(
         F.col(id_col).alias("doc"), sig(shingle_hashes).alias("sig")
     ).filter(F.col("sig").isNotNull())
-    signed = signed.persist()
+    # three branches (bands, sig_a, sig_b) reuse the signatures; an eager
+    # localCheckpoint materializes them ONCE and — unlike persist(), which
+    # pinned blocks for the session's lifetime — its blocks are released by
+    # the ContextCleaner as soon as the frame goes out of scope
+    signed = signed.localCheckpoint(eager=True)
 
     bands = signed.select(
         "doc",
@@ -257,9 +262,9 @@ def simhash_pairs(
 def embedding_cosine_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding near-dup pairs via brute-force cosine ≥ threshold
-    (test-scale oracle; the LSH-bucketed scale path lives in
-    operators/similarity.py)."""
+    """Embedding near-dup pairs via brute-force cosine ≥ threshold — the
+    all-pairs TEST ORACLE (quadratic by design, like ngram_jaccard_pairs);
+    the scale path is :func:`embedding_lsh_pairs`."""
     from doonop_spark.operators.similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -267,6 +272,46 @@ def embedding_cosine_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane LSH bucketing
+    (fixed-seed planes shared with ``similarity.signature_frame``) —
+    candidate pairs share a bucket in ≥1 of ``n_tables`` tables; every
+    candidate is then VERIFIED JVM-side by exact cosine ≥ threshold, so
+    the output has no false positives; recall per true pair is
+    ``1 - (1 - p^n_planes)^n_tables`` with ``p = 1 - angle/π``. The shuffle
+    carries (bucket_key, id) pairs — vectors are only joined back for the
+    verified candidate set, never all-pairs crossed."""
+    from doonop_spark.operators.similarity import cosine_expr, signature_frame
+
+    dim = len(emb.select(vec_col).first()[0])
+    sig = signature_frame(emb, id_col, vec_col, dim, n_planes, n_tables)
+    stack = ", ".join(f"b{t}" for t in range(n_tables))
+    buckets = sig.selectExpr("id", f"explode(array({stack})) as bucket")
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -161,12 +161,31 @@ class CrawlJob:
     # bucketed/partitioned by xxhash64(url) where the broadcast join can
     # prune storage partitions.
     broadcast_wave_max: int = 0
+    # bucket count of a corpus written by sources.corpus.write_bucketed_corpus
+    # (partition column bucket = pmod(xxhash64(url), corpus_buckets)). When
+    # >0 and the corpus carries a 'bucket' column, each wave's fetch join
+    # prunes the corpus scan to the wave's buckets (storage-partitioned
+    # join): at 100 TB a wave touching k of B buckets reads k/B of the
+    # corpus instead of all of it, every wave. 0 = plain url join.
+    corpus_buckets: int = 0
+    # partitioned bloom seen-sidecar (north_rule): >0 wires operators.bloom
+    # into the per-wave anti-join — candidates the bloom clears as
+    # definitely-new skip the exact anti-join shuffle. 0 = exact-only.
+    bloom_partitions: int = 0
+    bloom_expected_per_partition: int = 1_000_000
+    bloom_fp_rate: float = 0.01
+    # compact the seen-delta chain every K waves: the anti-join otherwise
+    # scans one delta frame per past wave (O(waves²) over a long crawl)
+    seen_compact_every: int = 8
     max_iterations: int = 10_000
     # extraction program surface (§2.10): 'text' = flagship byte-exact
     # extraction; 'url' = the reference's default JS program
-    # (return window.location.href ≡ F.col("url")); run_crawl's data_expr
-    # argument overrides with an arbitrary Column
+    # (return window.location.href ≡ F.col("url")); 'side' = run the
+    # Selenium-IDE subset program in side_program against each fetched page
+    # (P3, src/backend.rs:173-184); run_crawl's data_expr argument
+    # overrides with an arbitrary Column
     check: str = "text"
+    side_program: str | None = None
     # politeness implementation: 'window' (JVM row_number, default) or
     # 'pandas' (applyInPandas grouped priority queue, for custom rules)
     politeness_impl: str = "window"
@@ -191,7 +210,9 @@ def job_from_argv(argv: list[str]) -> CrawlJob:
     p.add_argument("-f", "--filter", action="append", default=[])
     p.add_argument("--retry-policy", default="no")
     p.add_argument("--retry-count", type=int, default=3)
-    p.add_argument("--retry-threshold-milis", type=float, default=0.0)
+    # reference default: 10000 ms (src/cfg.rs:59-61); converted below into
+    # the loop's logical-wave unit via wave_seconds
+    p.add_argument("--retry-threshold-milis", type=float, default=10_000.0)
     p.add_argument("--use-robots-txt", action="store_true")
     p.add_argument("--robot-name", default=DEFAULT_ROBOT)
     p.add_argument("--browser", default="firefox")
@@ -220,18 +241,30 @@ def job_from_argv(argv: list[str]) -> CrawlJob:
         with open(a.seed_file) as f:
             seeds += [ln.strip() for ln in f if ln.strip()]
 
-    code, _code_type = open_code_file(a.check_file, a.check_file_format)
-    check = "url" if code.strip().rstrip(";") == DEFAULT_CODE else "text"
+    code, code_type = open_code_file(a.check_file, a.check_file_format)
+    side_program = None
+    if code_type == "side":
+        check = "side"  # P3: run the program, collect its RESULT variable
+        side_program = code
+    elif code.strip().rstrip(";") == DEFAULT_CODE:
+        check = "url"
+    else:
+        check = "text"
 
+    # --retry-threshold-milis is wall-clock in the reference; the loop's
+    # retry_threshold is in logical waves (one wave ≈ wave_seconds of
+    # dispatch work), so convert ms → waves against the default cadence.
+    wave_seconds = CrawlJob.__dataclass_fields__["wave_seconds"].default
     return CrawlJob(
         check=check,
+        side_program=side_program,
         seeds=seeds,
         filters=filters,
         limit=a.limit,
         engines=a.count_searchers,
         retry_policy=parse_retry_policy(a.retry_policy),
         retry_count=a.retry_count,
-        retry_threshold=a.retry_threshold_milis,
+        retry_threshold=a.retry_threshold_milis / 1000.0 / wave_seconds,
         use_robots=a.use_robots_txt,
         robot=a.robot_name,
         url_key=a.url_key,

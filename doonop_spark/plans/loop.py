@@ -49,6 +49,7 @@ from doonop_spark.functions.canonical import (
     url_hash_col,
 )
 from doonop_spark.functions.extract import extract_page_udf
+from doonop_spark.operators.bloom import bloom_probe, build_bloom, merge_bloom
 from doonop_spark.operators.dedup import SEEN_COLS, anti_join_seen, dedup_within_batch
 from doonop_spark.operators.filters import apply_link_filters
 from doonop_spark.operators.robots import robots_gate
@@ -59,6 +60,7 @@ from doonop_spark.operators.schedule import (
     select_wave,
 )
 from doonop_spark.plans.job import CrawlJob, RetryPolicy
+from doonop_spark.sources.corpus import bucket_expr
 from doonop_spark.sources.seeds import seed_frontier, seeds_from_list
 from doonop_spark.sources.tables import MemoryTableIO, TableIO
 
@@ -129,8 +131,18 @@ def run_crawl(
     checkpoint is resumable.
     """
     io = io or MemoryTableIO()
+    side_udf = None
     if data_expr is None and job.check == "url":
         data_expr = F.col("url")
+    elif job.check == "side":
+        # P3: the Side program runs against every fetched page inside the
+        # same wave⋈corpus stage (shape() below adds the side_data column);
+        # its stored RESULT — null included — is the collected value
+        from doonop_spark.functions.side import side_data_udf
+
+        side_udf = side_data_udf(job.side_program or "{}")
+        if data_expr is None:
+            data_expr = F.col("side_data")
 
     # ---- init / resume -----------------------------------------------------
     state = io.load_state() if resume else None
@@ -186,6 +198,27 @@ def run_crawl(
         else None
     )
     parity_seq = job.engines is not None and job.engines <= 64
+
+    # partitioned bloom seen-sidecar (north_rule): built once over the
+    # current seen set (covers resume too), then merged incrementally with
+    # each wave's delta — never rebuilt from the full seen table again.
+    use_bloom = job.bloom_partitions > 0
+    bloom_df = None
+    if use_bloom:
+        bloom_df = io.materialize(
+            build_bloom(
+                seen,
+                n_partitions=job.bloom_partitions,
+                expected_per_partition=job.bloom_expected_per_partition,
+                fp_rate=job.bloom_fp_rate,
+            ),
+            "bloom",
+            iteration,
+        )
+
+    # storage-partitioned fetch: corpus written by write_bucketed_corpus
+    # carries a 'bucket' partition column derived from pmod(xxhash64(url), B)
+    bucketed_fetch = job.corpus_buckets > 0 and "bucket" in corpus.columns
 
     # ---- the loop (reference src/workload.rs:79-200) -----------------------
     waves_run = 0
@@ -261,10 +294,18 @@ def run_crawl(
                 ),
             )
             # fused P1+P2+P4: one Arrow stage → absolutized links + text
-            return joined.withColumn(
+            joined = joined.withColumn(
                 "__page",
                 F.when(F.col("status") == "ok", extract_page_udf("url", "html")),
-            ).select(
+            )
+            extra = []
+            if side_udf is not None:
+                joined = joined.withColumn(
+                    "side_data",
+                    F.when(F.col("status") == "ok", side_udf(F.col("url"), F.col("html"))),
+                )
+                extra = ["side_data"]
+            return joined.select(
                 "url",
                 "ukey",
                 "url_hash",
@@ -278,8 +319,29 @@ def run_crawl(
                 "status",
                 F.col("__page.links").alias("out_links"),
                 F.col("__page.text").alias("text"),
+                *extra,
             )
 
+        # Bucketed fetch (the 100 TB plan): the corpus is storage-partitioned
+        # by bucket = pmod(xxhash64(url), B) (write_bucketed_corpus), the
+        # wave's bucket set is collected (≤ min(wave, B) ints) and pushed as
+        # a partition predicate — the corpus scan reads ONLY the wave's
+        # buckets instead of rescanning the whole corpus every wave.
+        if bucketed_fetch:
+            # bucket set from the materialized wave (pre-gate superset of
+            # gated's buckets: still-correct pruning, no extra UDF pass)
+            bkts = [
+                r[0]
+                for r in wave.select(
+                    bucket_expr(F.col("url"), job.corpus_buckets).alias("b")
+                ).distinct().collect()
+            ]
+            wave_b = gated.withColumn(
+                "bucket", bucket_expr(F.col("url"), job.corpus_buckets)
+            )
+            pruned = corpus.filter(F.col("bucket").isin(bkts))
+            joined = wave_b.join(pruned, on=["bucket", "url"], how="left").drop("bucket")
+            fetched = io.materialize(shape(joined), "wave_fetched", iteration)
         # Small waves broadcast INTO the corpus join: the corpus (the 100 TB
         # side) is probed in place instead of being shuffled under a
         # sort-merge join. Outer joins cannot broadcast their preserved
@@ -287,7 +349,7 @@ def run_crawl(
         # fetch errors, E3) are reconstructed with a second broadcast
         # anti-join against the materialized hits — both joins stream the
         # big side exactly once.
-        if n_sched <= job.broadcast_wave_max:
+        elif n_sched <= job.broadcast_wave_max:
             hits = corpus.join(F.broadcast(gated), on="url", how="inner")
             fetched = io.materialize(shape(hits), "wave_fetched", iteration)
             missed = gated.join(
@@ -361,11 +423,48 @@ def run_crawl(
             "pos",
         ).withColumn("url_hash", url_hash_col(F.col("ukey")))
         links = dedup_within_batch(links, [F.asc("parent_rank"), F.asc("pos")])
-        new_links = anti_join_seen(links, seen)
+        # bloom pre-filter (north_rule sidecar): candidates the bank clears
+        # as definitely-new skip the exact anti-join shuffle; a false
+        # positive only costs an exact probe, never a drop
+        probe = bloom_probe(spark, bloom_df) if use_bloom else None
+        new_links = anti_join_seen(links, seen, probe)
         # materialize once: the seen delta, the robots gate and the frontier
         # union all branch from here — without this the explode/absolutize/
         # anti-join pipeline would run three times
         new_links = io.materialize(new_links, "new_links", iteration)
+
+        if not parity_seq:
+            # scale-mode seq: DENSE per-wave ids with no global sort.
+            # monotonically_increasing_id alone strides 2^33 per partition,
+            # and max(seq) feeds seq_counter — over a long wide crawl that
+            # drifts toward int64 overflow. Decompose mid into (partition,
+            # offset) and add per-partition cumulative offsets from one tiny
+            # agg over the checkpointed frame (deterministic partitioning ⇒
+            # mid is stable across the two jobs). Robots-dropped rows leave
+            # holes in seq — harmless: seq needs monotone+unique, not dense.
+            mid = F.monotonically_increasing_id()
+            pid = F.shiftright(mid, 33).cast("int")
+            pcounts = sorted(
+                (r["pid"], r["n"])
+                for r in new_links.groupBy(pid.alias("pid"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            offs, acc = {}, 0
+            for p_, n_ in pcounts:
+                offs[p_] = acc
+                acc += n_
+            if offs:
+                off_expr = F.element_at(
+                    F.create_map(*[F.lit(v) for kv in offs.items() for v in kv]),
+                    pid,
+                )
+            else:
+                off_expr = F.lit(0)
+            new_links = new_links.withColumn(
+                "__seq0",
+                (off_expr + mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("long"),
+            )
 
         # all newly-discovered links enter the seen set at enqueue time
         # (D1, src/workload.rs:202-211) — even those robots later rejects
@@ -386,11 +485,9 @@ def run_crawl(
             )
         else:
             # scale path: order within a wave is not observable (any
-            # parallel crawl interleaves); keep seq unique + monotone per
-            # wave without a single-partition sort
-            admitted = admitted.withColumn(
-                "__rn", F.monotonically_increasing_id() + 1
-            )
+            # parallel crawl interleaves); __seq0 was assigned densely on
+            # new_links above, no single-partition sort
+            admitted = admitted.withColumn("__rn", F.col("__seq0")).drop("__seq0")
         enqueue = admitted.select(
             "url",
             "ukey",
@@ -427,10 +524,39 @@ def run_crawl(
         if requeue is not None:
             new_frontier = new_frontier.unionByName(requeue)
 
-        io.append(seen_new, "seen", iteration)
+        # seen-delta compaction: the anti-join otherwise scans one delta per
+        # past wave — O(waves²) over a long crawl and a linearly growing
+        # plan. Every K waves the union is rewritten as ONE consolidated
+        # part; earlier parts are dropped only after the state commit
+        # (crash in between ⇒ duplicate seen rows, which never change an
+        # anti-join/bloom-build result and are swept by the next compaction).
+        compact_now = (
+            job.seen_compact_every > 0
+            and (iteration + 1) % job.seen_compact_every == 0
+        )
+        if compact_now:
+            full_seen = seen.unionByName(seen_new).dropDuplicates(SEEN_COLS)
+            io.append(full_seen, "seen", iteration)
+        else:
+            io.append(seen_new, "seen", iteration)
+        if use_bloom:
+            # incremental: fold ONLY the delta into the bank (never rebuild
+            # from the full seen set)
+            bloom_df = io.materialize(
+                merge_bloom(
+                    bloom_df,
+                    build_bloom(
+                        seen_new,
+                        n_partitions=job.bloom_partitions,
+                        expected_per_partition=job.bloom_expected_per_partition,
+                        fp_rate=job.bloom_fp_rate,
+                    ),
+                ),
+                "bloom",
+                iteration,
+            )
         iteration += 1
         frontier = io.materialize(new_frontier, "frontier", iteration)
-        seen = io.read_appended(spark, "seen")
         # one count on the materialized frontier keeps fresh/seq bookkeeping
         agg = frontier.agg(
             F.coalesce(F.sum(F.when(~F.col("is_retry"), 1).otherwise(0)), F.lit(0)),
@@ -447,6 +573,9 @@ def run_crawl(
                 "stats": vars(stats),
             }
         )
+        if compact_now:
+            io.drop_appends_before("seen", iteration - 1)
+        seen = io.read_appended(spark, "seen")
 
     results = io.read_appended(spark, "results")
     metrics = io.read_appended(spark, "metrics")

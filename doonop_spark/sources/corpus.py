@@ -30,6 +30,9 @@ __all__ = [
     "pages_from_documents",
     "host_name",
     "page_url",
+    "bucket_expr",
+    "write_bucketed_corpus",
+    "read_bucketed_corpus",
 ]
 
 _EPOCH = "2024-01-01 00:00:00"
@@ -182,6 +185,40 @@ def synthetic_robots(
             body += f"Crawl-delay: {crawl_delay[h]}\n"
         rows.append((f"h{h:04d}.example", body))
     return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def bucket_expr(url: Column, n_buckets: int) -> Column:
+    """The corpus storage-bucket key: ``pmod(xxhash64(url), B)``. Both the
+    writer and the wave side MUST derive the bucket from this expression —
+    it is the contract that makes per-wave scan pruning sound."""
+    return F.pmod(F.xxhash64(url), F.lit(n_buckets)).cast("int")
+
+
+def write_bucketed_corpus(corpus: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """Persist a corpus hash-partitioned by ``bucket = pmod(xxhash64(url), B)``
+    as a partitioned parquet layout (``{path}/bucket=…/``) — the sandbox
+    stand-in for an Iceberg table bucket-partitioned by url hash. The
+    per-wave fetch join (plans/loop.py) then prunes the corpus scan to the
+    wave's buckets via a partition predicate: at 100 TB, a wave touching k
+    of B buckets reads k/B of the corpus instead of rescanning all of it
+    every wave (the round-1 scale-killer; reference analog: the fetch IS
+    the engine's whole cost, src/backend.rs:84-88)."""
+    (
+        corpus.withColumn("bucket", bucket_expr(F.col("url"), n_buckets))
+        # co-locate rows of one bucket into one file set; parquet
+        # partitionBy then maps bucket → directory, prunable at scan time
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def read_bucketed_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read a corpus written by :func:`write_bucketed_corpus`; the
+    ``bucket`` partition column stays on the frame so the crawl loop can
+    push a pruning predicate into the scan."""
+    return spark.read.parquet(path)
 
 
 def pages_from_documents(

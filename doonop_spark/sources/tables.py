@@ -65,13 +65,22 @@ class TableIO:
         from a wave that died between append and state commit. No-op for
         in-memory state (no resume there)."""
 
+    def drop_appends_before(self, name: str, iteration: int) -> None:
+        """Drop appended parts with iteration < iteration — used after a
+        compaction wave wrote a consolidated part at ``iteration`` that
+        supersedes all earlier parts. Called AFTER the state commit, so a
+        crash in between leaves stale parts alongside the consolidated one:
+        harmless for the seen set (duplicate rows on the anti-join/bloom
+        build side never change the result) and swept by the next
+        compaction."""
+
 
 class MemoryTableIO(TableIO):
     """In-memory backend: localCheckpoint cuts lineage; appends accumulate
     as a list of checkpointed frames unioned on read."""
 
     def __init__(self) -> None:
-        self._appended: dict[str, list[DataFrame]] = {}
+        self._appended: dict[str, list[tuple[int, DataFrame]]] = {}
         self._state: dict[str, Any] | None = None
         self._live: dict[str, DataFrame] = {}
 
@@ -85,17 +94,22 @@ class MemoryTableIO(TableIO):
         # is replaced: it holds its own reference to the checkpointed RDDs
         # it derives from, which keeps their blocks alive
         self._appended.setdefault(name, []).append(
-            df.localCheckpoint(eager=True) if eager else df
+            (iteration, df.localCheckpoint(eager=True) if eager else df)
         )
 
     def read_appended(self, spark: SparkSession, name: str) -> DataFrame | None:
-        frames = self._appended.get(name)
+        frames = [f for _, f in self._appended.get(name, [])]
         if not frames:
             return None
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    def drop_appends_before(self, name: str, iteration: int) -> None:
+        self._appended[name] = [
+            (i, f) for i, f in self._appended.get(name, []) if i >= iteration
+        ]
 
     def save_state(self, state: dict[str, Any]) -> None:
         self._state = dict(state)
@@ -169,6 +183,14 @@ class SnapshotTableIO(TableIO):
             return
         for d in os.listdir(base):
             if d.startswith("part_iter=") and int(d.split("=")[1]) >= max_iteration:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    def drop_appends_before(self, name: str, iteration: int) -> None:
+        base = os.path.join(self.root, name)
+        if not os.path.isdir(base):
+            return
+        for d in os.listdir(base):
+            if d.startswith("part_iter=") and int(d.split("=")[1]) < iteration:
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 

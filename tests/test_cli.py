@@ -1,0 +1,182 @@
+"""CLI integration goldens — subprocess ports of the reference's
+``tests/crawling.rs`` battery (stderr stats line + stdout JSON-per-line),
+plus unit tests of the Side-program subset interpreter (P3) and the
+collected-null semantics (src/lib.rs:125-133)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from doonop_spark.functions.side import (
+    parse_side_program,
+    run_side_program,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# semantic port of tests/resources/default.side.json:10-18 — a single
+# `store` command putting the literal "THE RESULT" into variable RESULT
+SIDE_PROGRAM = json.dumps(
+    {
+        "id": "t",
+        "version": "2.0",
+        "name": "test",
+        "url": "http://localhost/",
+        "tests": [
+            {
+                "id": "t1",
+                "name": "",
+                "commands": [
+                    {"id": "c1", "command": "store", "target": "THE RESULT", "value": "RESULT"}
+                ],
+            }
+        ],
+        "suites": [{"id": "s1", "name": "Default Suite", "tests": ["t1"]}],
+    }
+)
+
+
+def run_cli(args, cwd=REPO, timeout=300):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "doonop_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env=env,
+        timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_corpus_path(spark, tmp_path_factory):
+    from doonop_spark.sources.corpus import fixture_site_corpus
+
+    path = str(tmp_path_factory.mktemp("cli") / "fixture.parquet")
+    fixture_site_corpus(spark).write.parquet(path)
+    return path
+
+
+def test_cli_no_urls(fixture_corpus_path):
+    # tests/crawling.rs:4-11 — no seeds: exit 0, zero stats
+    p = run_cli(["--corpus", fixture_corpus_path])
+    assert p.returncode == 0
+    assert p.stderr.endswith(
+        "Statistics: visited 0, collected 0, errors 0, retries 0\n"
+    ), p.stderr[-500:]
+    assert p.stdout == ""
+
+
+def test_cli_basic_golden(fixture_corpus_path):
+    # tests/crawling.rs:13-23 — the 2-page fixture site
+    p = run_cli(
+        ["--corpus", fixture_corpus_path, "http://localhost:8000/basic/index.html"]
+    )
+    assert p.returncode == 0
+    assert p.stderr.endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0\n"
+    ), p.stderr[-500:]
+    lines = p.stdout.splitlines()
+    assert len(lines) == 2
+    # no --check-file ⇒ the reference's default program
+    # `return window.location.href` (src/cfg.rs:344-346): data = page URL,
+    # printed as JSON in collection order (seed first, then its link)
+    assert json.loads(lines[0]) == "http://localhost:8000/basic/index.html"
+    assert json.loads(lines[1]) == "http://localhost:8000/basic/about.html"
+
+
+def test_cli_side_file_golden(fixture_corpus_path, tmp_path):
+    # tests/crawling.rs:25-41 — side program output contains THE RESULT
+    side = tmp_path / "default.side.json"
+    side.write_text(SIDE_PROGRAM)
+    p = run_cli(
+        [
+            "--corpus",
+            fixture_corpus_path,
+            "--check-file",
+            str(side),
+            "--check-file-format",
+            "side",
+            "http://localhost:8000/basic/index.html",
+        ]
+    )
+    assert p.returncode == 0
+    assert p.stderr.endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0\n"
+    ), p.stderr[-500:]
+    assert "THE RESULT" in p.stdout
+    assert [json.loads(l) for l in p.stdout.splitlines()] == [
+        "THE RESULT",
+        "THE RESULT",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Side interpreter unit tests (no subprocess)
+# ---------------------------------------------------------------------------
+
+def test_parse_side_program_golden():
+    cmds = parse_side_program(SIDE_PROGRAM)
+    assert cmds == [{"command": "store", "target": "THE RESULT", "value": "RESULT"}]
+
+
+def test_parse_side_rejects_unsupported():
+    bad = json.dumps(
+        {
+            "tests": [
+                {"id": "t", "commands": [{"command": "click", "target": "x", "value": ""}]}
+            ]
+        }
+    )
+    with pytest.raises(ValueError, match="click"):
+        parse_side_program(bad)
+
+
+def test_run_side_program_commands():
+    html = "<html><head><title>A &amp; B</title></head><body><main>Hi <b>there</b></main></body></html>"
+    cmds = parse_side_program(
+        json.dumps(
+            {
+                "tests": [
+                    {
+                        "id": "t",
+                        "commands": [
+                            {"command": "open", "target": "/", "value": ""},
+                            {"command": "storeTitle", "target": "", "value": "ttl"},
+                            {"command": "storeText", "target": "css=main", "value": "txt"},
+                            {"command": "store", "target": "${ttl}|${txt}", "value": "RESULT"},
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    assert run_side_program(cmds, "http://x/", html) == "A & B|Hi there"
+
+
+def test_side_null_is_collected(spark):
+    """src/lib.rs:125-133: a program that never stores RESULT collects
+    json null — the row still lands and counts toward collected/limit."""
+    from doonop_spark.plans.job import CrawlJob
+    from doonop_spark.plans.loop import run_crawl
+    from doonop_spark.sources.corpus import fixture_site_corpus
+
+    prog = json.dumps(
+        {"tests": [{"id": "t", "commands": [{"command": "open", "target": "/", "value": ""}]}]}
+    )
+    job = CrawlJob(
+        seeds=["http://localhost:8000/basic/index.html"],
+        engines=1,
+        check="side",
+        side_program=prog,
+    )
+    res = run_crawl(spark, job, fixture_site_corpus(spark))
+    rows = res.results.collect()
+    assert res.stats.count_collected == 2  # nulls count toward the limit
+    assert len(rows) == 2
+    assert all(r.data is None for r in rows)  # collected value is null

@@ -272,6 +272,122 @@ def test_checkpoint_resume_identical(spark, tmp_path):
     )
 
 
+def test_bloom_sidecar_crawl_identical(spark):
+    """north_rule bloom sidecar wired into the loop: a crawl with the bloom
+    pre-filter on reproduces byte-identical results, seen-set and stats vs
+    the exact-only path (FPs only cost a probe, never a drop)."""
+    corpus = synthetic_corpus(spark, n_hosts=3, n_pages=90)
+    seeds = ["http://h0000.example/p0", "http://h0001.example/p0"]
+    base = run_crawl(
+        spark, CrawlJob(seeds=seeds, engines=None, per_host_budget=64), corpus
+    )
+    bloomed = run_crawl(
+        spark,
+        CrawlJob(
+            seeds=seeds,
+            engines=None,
+            per_host_budget=64,
+            bloom_partitions=8,
+            bloom_expected_per_partition=256,
+        ),
+        corpus,
+    )
+    assert sorted((r.url, r.data) for r in base.results.collect()) == sorted(
+        (r.url, r.data) for r in bloomed.results.collect()
+    )
+    assert sorted(r.ukey for r in base.seen.collect()) == sorted(
+        r.ukey for r in bloomed.seen.collect()
+    )
+    assert vars(base.stats) == vars(bloomed.stats)
+
+
+def test_bucketed_corpus_crawl_identical(spark, tmp_path):
+    """Storage-partitioned fetch: crawling a bucket-partitioned corpus
+    yields byte-identical results to the plain url join, and each wave's
+    corpus scan is pruned to the wave's buckets (PartitionFilters)."""
+    from doonop_spark.sources.corpus import (
+        bucket_expr,
+        read_bucketed_corpus,
+        write_bucketed_corpus,
+    )
+
+    corpus = synthetic_corpus(spark, n_hosts=3, n_pages=80)
+    seeds = ["http://h0000.example/p0", "http://h0001.example/p0"]
+    base = run_crawl(spark, CrawlJob(seeds=seeds, engines=8), corpus)
+
+    path = str(tmp_path / "bucketed")
+    write_bucketed_corpus(corpus, path, n_buckets=16)
+    bcorpus = read_bucketed_corpus(spark, path)
+    assert "bucket" in bcorpus.columns
+    res = run_crawl(
+        spark, CrawlJob(seeds=seeds, engines=8, corpus_buckets=16), bcorpus
+    )
+    assert sorted((r.url, r.data) for r in base.results.collect()) == sorted(
+        (r.url, r.data) for r in res.results.collect()
+    )
+    assert vars(base.stats) == vars(res.stats)
+
+    # the pruning predicate reaches the scan as a PARTITION filter (not a
+    # post-scan data filter): a 1-bucket wave reads only that bucket's
+    # directory, not the whole corpus
+    one = bcorpus.filter(F.col("bucket").isin([3]))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "bucket" in pf[1].split("]", 1)[0]
+
+
+def test_seen_compaction_identical_and_bounded(spark, tmp_path):
+    """Seen-delta compaction: aggressive compaction (every 2 waves) yields
+    byte-identical crawl output, and the durable backend holds O(K) seen
+    parts at the end instead of one per wave."""
+    import os
+
+    from doonop_spark.sources.tables import SnapshotTableIO
+
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=64)
+    seeds = ["http://h0000.example/p0", "http://h0001.example/p0"]
+    base = run_crawl(
+        spark, CrawlJob(seeds=seeds, engines=4, seen_compact_every=0), corpus
+    )
+    io = SnapshotTableIO(str(tmp_path / "c"))
+    res = run_crawl(
+        spark, CrawlJob(seeds=seeds, engines=4, seen_compact_every=2), corpus, io=io
+    )
+    assert sorted((r.url, r.data) for r in base.results.collect()) == sorted(
+        (r.url, r.data) for r in res.results.collect()
+    )
+    assert vars(base.stats) == vars(res.stats)
+    parts = [
+        d for d in os.listdir(tmp_path / "c" / "seen") if d.startswith("part_iter=")
+    ]
+    # 32 waves (engines=4, 64 pages); without compaction there would be
+    # ~33 parts; with K=2 at most K+1 survive past the last compaction
+    assert len(parts) <= 3
+
+
+def test_resume_with_compaction(spark, tmp_path):
+    """Kill-and-resume still reproduces the uninterrupted run when
+    compaction rewrote the seen chain before the kill."""
+    from doonop_spark.sources.tables import SnapshotTableIO
+
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=24)
+    seeds = ["http://h0000.example/p0", "http://h0001.example/p0"]
+    job = CrawlJob(seeds=seeds, engines=4, seen_compact_every=2)
+
+    full = run_crawl(spark, job, corpus, io=SnapshotTableIO(str(tmp_path / "full")))
+    part_io = SnapshotTableIO(str(tmp_path / "part"))
+    job_k = CrawlJob(seeds=seeds, engines=4, seen_compact_every=2, max_iterations=3)
+    run_crawl(spark, job_k, corpus, io=part_io)
+    resumed = run_crawl(spark, job, corpus, io=part_io, resume=True)
+    assert sorted((r.url, r.data) for r in full.results.collect()) == sorted(
+        (r.url, r.data) for r in resumed.results.collect()
+    )
+    assert sorted(r.ukey for r in full.seen.collect()) == sorted(
+        r.ukey for r in resumed.seen.collect()
+    )
+
+
 def test_metrics_lineage(spark):
     corpus = synthetic_corpus(spark, n_hosts=2, n_pages=20)
     res = run_crawl(

@@ -64,3 +64,15 @@ def test_sample_frames_fanout(spark, media):
     # only the video row fans out: ts 0,1000,2000,3000
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
     assert {r.media_id for r in frames} == {3}
+
+
+def test_sample_frames_zero_duration_yields_nothing(spark):
+    """A duration_ms=0 video emits NO frames — matches the driver oracle
+    range(0, d, 1000), which is empty for d=0 (the unfiltered sequence
+    would emit a phantom t=0 frame)."""
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(b"x"), "video/mp4", 1, 1, 0)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    assert sample_frames(media, every_ms=1000).count() == 0

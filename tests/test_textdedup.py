@@ -85,6 +85,41 @@ def test_embedding_cosine_pairs(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_lsh_pairs_vs_brute_force(spark):
+    """Scale path equivalence on clustered vectors: LSH-bucketed pairs are
+    a SUBSET of brute force (exact-cosine verify ⇒ zero false positives)
+    and, for genuinely-near duplicates (cosine ≥ 0.95 ⇒ per-plane agree
+    p ≈ 0.9, miss prob ≈ (1-0.9^8)^12 ≈ 1e-3 per pair — and the planes are
+    FIXED-seed, so the outcome is deterministic), recall is total here."""
+    import numpy as np
+
+    from doonop_spark.operators.textdedup import embedding_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(12):  # 12 clusters of 3 near-dup vectors
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.standard_normal(16) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(emb, "vec_id", "embedding", 0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_lsh_pairs(emb, "vec_id", "embedding", 0.95).collect()
+    }
+    assert len(brute) >= 30  # sanity: the clusters really are near-dups
+    assert lsh <= brute  # verify step ⇒ no false positives
+    assert lsh == brute  # all true pairs recovered (fixed planes, det.)
+
+
 def test_minhash_on_real_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
