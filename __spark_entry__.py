@@ -218,6 +218,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doonop_spark.functions.text import bpe_token_count_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import quality_features, quality_score_expr
 
@@ -508,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": q_crawl_bfs,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
         "lang_quality_breakdown": q_lang_quality_breakdown,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -630,6 +640,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id, {n_words} AS n_tokens FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+            FROM documents
         """,
         "quality_score": f"""
             SELECT doc_id, length(text) AS n_chars, {n_words} AS n_words,

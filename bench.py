@@ -128,9 +128,16 @@ def frontier_throughput(spark: SparkSession, corpus, n_pages: int) -> float:
     return n_pages / dt
 
 
-def bfs_crawl_seconds(spark: SparkSession, corpus_path: str) -> tuple[float, int]:
+def bfs_crawl_seconds(
+    spark: SparkSession,
+    corpus_path: str,
+    corpus_buckets: int = 0,
+    bloom_partitions: int = 0,
+) -> tuple[float, int]:
     """Full iterative BFS crawl wall time on a reduced corpus (the loop
-    includes per-wave materialization overhead)."""
+    includes per-wave materialization overhead). ``corpus_buckets``/
+    ``bloom_partitions`` exercise the storage-partitioned fetch and the
+    bloom seen-sidecar (the 100 TB scale paths) on the same input."""
     from doonop_spark.plans.job import CrawlJob
     from doonop_spark.plans.loop import run_crawl
 
@@ -141,6 +148,9 @@ def bfs_crawl_seconds(spark: SparkSession, corpus_path: str) -> tuple[float, int
         engines=None,
         per_host_budget=10_000_000,
         salt_target_rows=50_000,
+        corpus_buckets=corpus_buckets,
+        bloom_partitions=bloom_partitions,
+        bloom_expected_per_partition=max(N_PAGES // max(bloom_partitions, 1), 1024),
     )
     t0 = time.monotonic()
     res = run_crawl(spark, job, corpus)
@@ -209,6 +219,25 @@ def main() -> None:
     crawl_s, visited = bfs_crawl_seconds(spark, tmp)
     timings["bfs_crawl_loop"] = round(crawl_s, 3)
 
+    # scale-path variants on the SAME corpus: storage-partitioned fetch
+    # (bucket-pruned corpus scans per wave) and the bloom seen-sidecar.
+    # At sandbox scale the whole corpus sits in page cache, so pruning
+    # mostly removes scheduler/scan-task overhead; the 100 TB effect is
+    # reading k/B of the corpus per wave instead of all of it.
+    tmp_bucketed = tmp + "_bucketed"
+    if not os.path.exists(os.path.join(tmp_bucketed, "_SUCCESS")):
+        from doonop_spark.sources.corpus import write_bucketed_corpus
+
+        write_bucketed_corpus(spark.read.parquet(tmp), tmp_bucketed, n_buckets=64)
+    crawl_bucketed_s, visited_b = bfs_crawl_seconds(
+        spark, tmp_bucketed, corpus_buckets=64
+    )
+    assert visited_b == visited
+    timings["bfs_crawl_bucketed"] = round(crawl_bucketed_s, 3)
+    crawl_bloom_s, visited_bl = bfs_crawl_seconds(spark, tmp, bloom_partitions=32)
+    assert visited_bl == visited
+    timings["bfs_crawl_bloom"] = round(crawl_bloom_s, 3)
+
     qs = entrymod.queries()
     for name in (
         "dedup_exact",
@@ -217,6 +246,8 @@ def main() -> None:
         "ngram_jaccard_dedup",
         "ann_topk_exact",
         "ann_topk_ivf",
+        "ann_topk_lsh",
+        "embedding_dedup_lsh",
         "quality_score",
         "token_count",
         "winnow_fingerprint",

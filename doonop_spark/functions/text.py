@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "token_count_expr",
+    "bpe_token_count_expr",
     "word_shingles_expr",
     "quality_features",
     "quality_score_expr",
@@ -38,6 +39,21 @@ def token_count_expr(text: Column) -> Column:
     return F.when(trimmed == "", F.lit(0)).otherwise(
         F.size(F.split(trimmed, _WS))
     )
+
+
+# BPE-style pre-tokenizer classes (the GPT-2 pattern's portable ASCII
+# core): letter runs, digit runs, and single non-alnum-non-space marks.
+# Counting these approximates subword-token budgets far better than
+# whitespace splitting on code/punctuation-heavy web text, and the pattern
+# uses only character classes both Spark (Java regex) and DuckDB (RE2)
+# interpret identically — so it is exactly oracle-checkable.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """BPE-ish token count, JVM-side: number of BPE_TOKEN_PATTERN matches
+    (letter runs + digit runs + individual punctuation marks)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
 
 
 def word_shingles_expr(text: Column, k: int = 5) -> Column:

@@ -174,6 +174,10 @@ class CrawlJob:
     bloom_partitions: int = 0
     bloom_expected_per_partition: int = 1_000_000
     bloom_fp_rate: float = 0.01
+    # fold accumulated seen deltas into the bloom bank every K waves; in
+    # between, bloom-cleared rows are exact-checked against the ≤K-frame
+    # uncovered tail (correct AND amortizes the bank update)
+    bloom_fold_every: int = 4
     # compact the seen-delta chain every K waves: the anti-join otherwise
     # scans one delta frame per past wave (O(waves²) over a long crawl)
     seen_compact_every: int = 8

@@ -200,10 +200,15 @@ def run_crawl(
     parity_seq = job.engines is not None and job.engines <= 64
 
     # partitioned bloom seen-sidecar (north_rule): built once over the
-    # current seen set (covers resume too), then merged incrementally with
-    # each wave's delta — never rebuilt from the full seen table again.
+    # current seen set (covers resume too), then FOLDED every
+    # bloom_fold_every waves — the bank may lag the seen set, so rows the
+    # bloom clears as definitely-new are still exact-checked against the
+    # small uncovered delta tail (bloom_pending). Never-drop invariant:
+    # covered portion has no false negatives (bloom property), uncovered
+    # portion is exact — so no duplicate is ever admitted.
     use_bloom = job.bloom_partitions > 0
     bloom_df = None
+    bloom_pending: list[DataFrame] = []  # seen deltas not yet in the bank
     if use_bloom:
         bloom_df = io.materialize(
             build_bloom(
@@ -423,11 +428,30 @@ def run_crawl(
             "pos",
         ).withColumn("url_hash", url_hash_col(F.col("ukey")))
         links = dedup_within_batch(links, [F.asc("parent_rank"), F.asc("pos")])
-        # bloom pre-filter (north_rule sidecar): candidates the bank clears
-        # as definitely-new skip the exact anti-join shuffle; a false
-        # positive only costs an exact probe, never a drop
-        probe = bloom_probe(spark, bloom_df) if use_bloom else None
-        new_links = anti_join_seen(links, seen, probe)
+        if use_bloom:
+            # bloom pre-filter (north_rule sidecar): candidates the bank
+            # clears as definitely-new skip the exact anti-join shuffle
+            # against the covered seen mass; they are only exact-checked
+            # against the small not-yet-folded delta tail. The flag is
+            # computed ONCE over a materialized frame — filtering an
+            # unmaterialized pipeline on probe/~probe would run the whole
+            # explode/absolutize/dedup chain (and the probe UDF) twice.
+            probe = bloom_probe(spark, bloom_df)
+            flagged = io.materialize(
+                links.withColumn("__maybe", probe(F.col("url_hash"))),
+                "links_flagged",
+                iteration,
+            )
+            checked = flagged.filter(F.col("__maybe")).drop("__maybe")
+            checked = checked.join(seen.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti")
+            fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
+            for recent in bloom_pending:  # uncovered tail: ≤ fold_every frames
+                fresh = fresh.join(
+                    recent.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti"
+                )
+            new_links = checked.unionByName(fresh)
+        else:
+            new_links = anti_join_seen(links, seen)
         # materialize once: the seen delta, the robots gate and the frontier
         # union all branch from here — without this the explode/absolutize/
         # anti-join pipeline would run three times
@@ -540,21 +564,29 @@ def run_crawl(
         else:
             io.append(seen_new, "seen", iteration)
         if use_bloom:
-            # incremental: fold ONLY the delta into the bank (never rebuild
-            # from the full seen set)
-            bloom_df = io.materialize(
-                merge_bloom(
-                    bloom_df,
-                    build_bloom(
-                        seen_new,
-                        n_partitions=job.bloom_partitions,
-                        expected_per_partition=job.bloom_expected_per_partition,
-                        fp_rate=job.bloom_fp_rate,
+            # the delta joins the uncovered tail now; every fold_every
+            # waves the accumulated tail is folded into the bank with ONE
+            # build+merge (never a rebuild from the full seen set) — the
+            # two applyInPandas stages amortize across waves
+            bloom_pending.append(new_links.select(*SEEN_COLS))
+            if len(bloom_pending) >= max(job.bloom_fold_every, 1):
+                tail = bloom_pending[0]
+                for f in bloom_pending[1:]:
+                    tail = tail.unionByName(f)
+                bloom_df = io.materialize(
+                    merge_bloom(
+                        bloom_df,
+                        build_bloom(
+                            tail,
+                            n_partitions=job.bloom_partitions,
+                            expected_per_partition=job.bloom_expected_per_partition,
+                            fp_rate=job.bloom_fp_rate,
+                        ),
                     ),
-                ),
-                "bloom",
-                iteration,
-            )
+                    "bloom",
+                    iteration,
+                )
+                bloom_pending = []
         iteration += 1
         frontier = io.materialize(new_frontier, "frontier", iteration)
         # one count on the materialized frontier keeps fresh/seq bookkeeping

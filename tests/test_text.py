@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from doonop_spark.functions.text import (
+    bpe_token_count_expr,
     lang_id_py,
     quality_score_expr,
     token_count_expr,
@@ -20,6 +21,24 @@ def test_token_count(spark):
     )
     got = [r.n for r in df.select(token_count_expr(F.col("t")).alias("n")).collect()]
     assert got == [3, 0, 0, 1]
+
+
+def test_bpe_token_count(spark):
+    # letter runs, digit runs, single punctuation marks; whitespace free
+    df = spark.createDataFrame(
+        [
+            ("hello world",),  # 2
+            ("don't stop!",),  # don + ' + t + stop + ! = 5
+            ("v2.0-rc1",),  # v + 2 + . + 0 + - + rc + 1 = 7
+            ("",),  # 0
+            ("   ",),  # 0
+        ],
+        "t string",
+    )
+    got = [
+        r.n for r in df.select(bpe_token_count_expr(F.col("t")).alias("n")).collect()
+    ]
+    assert got == [2, 5, 7, 0, 0]
 
 
 def test_word_shingles(spark):
