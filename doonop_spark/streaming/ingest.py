@@ -12,6 +12,14 @@ What IS stream-shaped, and provided here:
 - :func:`stream_metrics_rollup` — watermarked tumbling-window rollup of
   the crawl metrics table (late metric rows tolerated up to the
   watermark), the streaming analog of §2.12.
+- :func:`stream_discovered_links` + :func:`stream_first_sightings` — a
+  CUSTOM STATEFUL operator via ``applyInPandasWithState``: per-host
+  first-occurrence dedup of the discovered-link stream (state = the set of
+  ``xxhash64`` keys the host has already emitted), the streaming analog of
+  the seen-set anti-join (D1) for near-real-time link feeds. The batch
+  anti-join + bloom sidecar remain the 10^10-scale path; this is the
+  low-latency micro-path, and its per-host state partitioning matches the
+  politeness scheduler's grouping.
 """
 
 from __future__ import annotations
@@ -20,7 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["PAGES_SCHEMA", "stream_pages", "stream_extract", "stream_metrics_rollup"]
+__all__ = [
+    "PAGES_SCHEMA",
+    "stream_pages",
+    "stream_extract",
+    "stream_metrics_rollup",
+    "stream_discovered_links",
+    "stream_first_sightings",
+]
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -78,6 +93,69 @@ def stream_metrics_rollup(
             "n_pages",
             "bytes_html",
         )
+    )
+
+
+def stream_discovered_links(pages: DataFrame) -> DataFrame:
+    """Streaming link expansion: pages → (url, host, url_hash) rows of the
+    ABSOLUTIZED out-links (stateless: explode + JVM host/hash exprs)."""
+    from doonop_spark.functions.canonical import host_expr, url_hash_col
+
+    return (
+        stream_extract(pages)
+        .select(F.explode("out_links").alias("url"))
+        .withColumn("host", host_expr(F.col("url")))
+        .withColumn("url_hash", url_hash_col(F.col("url")))
+    )
+
+
+_SIGHTING_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+    ]
+)
+_SIGHTING_STATE = T.StructType(
+    [T.StructField("hashes", T.ArrayType(T.LongType()))]
+)
+
+
+def stream_first_sightings(links: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): emit each
+    link the FIRST time its host group ever sees it, across micro-batches.
+    State per host = the array of emitted ``xxhash64`` keys; duplicates
+    inside one batch collapse too (first occurrence kept). Exactly-once
+    with a checkpointed query: re-processing a batch replays the same
+    state transition.
+
+    Scale note: per-host state is proportional to that host's distinct
+    URLs — apt for the near-real-time feed this serves (fresh-crawl
+    discovery streams); the 10^10 historical seen-set stays in the batch
+    anti-join + bloom sidecar, not in streaming state.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        host = key[0]
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            fresh = pdf[~pdf["url_hash"].isin(list(seen))].drop_duplicates(
+                subset=["url_hash"]
+            )
+            if len(fresh):
+                seen.update(int(h) for h in fresh["url_hash"])
+                yield fresh.assign(host=host)[["host", "url", "url_hash"]]
+        state.update((sorted(seen),))
+
+    return links.groupBy("host").applyInPandasWithState(
+        dedup,
+        outputStructType=_SIGHTING_OUT,
+        stateStructType=_SIGHTING_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -1,5 +1,5 @@
-"""Streaming ingest: exactly-once availableNow extraction and the
-watermarked metrics rollup."""
+"""Streaming ingest: exactly-once availableNow extraction, the watermarked
+metrics rollup, and the applyInPandasWithState first-sighting dedup."""
 
 from __future__ import annotations
 
@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from doonop_spark.sources.corpus import synthetic_corpus
 from doonop_spark.streaming.ingest import (
     run_ingest_once,
+    stream_discovered_links,
+    stream_first_sightings,
     stream_metrics_rollup,
     stream_pages,
 )
@@ -61,3 +63,46 @@ def test_metrics_rollup_batch_semantics(spark, tmp_path):
     assert out.count() > 0
     total = out.agg(F.sum("n_pages")).collect()[0][0]
     assert total == 40
+
+
+def test_first_sightings_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: first-occurrence-per-host dedup ACROSS
+    micro-batches. Two corpus files land with heavily overlapping link
+    sets; maxFilesPerTrigger=1 forces ≥2 micro-batches, so the second
+    batch's duplicates are rejected by carried state, not by a
+    within-batch distinct."""
+    pages_dir = str(tmp_path / "pages3")
+    # same 30-page site written twice (distinct file sets, identical urls)
+    # ⇒ identical discovered-link sets in different micro-batches
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=30)
+    corpus.write.mode("overwrite").parquet(pages_dir)
+    corpus.write.mode("append").parquet(pages_dir)
+
+    pages = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    q = (
+        stream_first_sightings(stream_discovered_links(pages))
+        .writeStream.format("memory")
+        .queryName("sightings_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from sightings_out")
+    # every discovered link appears EXACTLY once despite arriving twice
+    assert out.count() == out.select("url_hash").distinct().count()
+    # ground truth: the distinct link set of the batch extraction
+    from doonop_spark.functions.extract import extract_page_udf
+
+    truth = (
+        corpus.withColumn("__p", extract_page_udf("url", "html"))
+        .select(F.explode("__p.links").alias("url"))
+        .distinct()
+        .count()
+    )
+    assert out.count() == truth
+    assert out.groupBy("host").count().count() == 2  # per-host state groups
