@@ -263,6 +263,21 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keeper selection end-to-end: Jaccard pairs → connected
+    components (iterative min-label propagation) → (doc_id, component_id);
+    component_id = the cluster's canonical keeper. Oracle = recursive-CTE
+    transitive closure over the identical pair set."""
+    from doonop_spark.operators.textdedup import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+    return dedup_components(pairs, vertices=docs.select("doc_id"))
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (engine-specific hashes ⇒ rows-only
     oracle; exactness vs the Jaccard oracle is covered in tests/)."""
@@ -521,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_quality_breakdown": q_lang_quality_breakdown,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -571,6 +587,25 @@ def oracle_sql() -> dict[str, str]:
         f"ELSE list_transform(generate_series(1, {n_words} - 4),"
         f" i -> array_to_string({tokens}[i:i+4], ' ')) END"
     )
+    jaccard_pairs = f"""
+            WITH sh AS (
+              SELECT doc_id AS doc, list_distinct({shingles}) AS s FROM documents
+              WHERE len({shingles}) > 0
+            ), ex AS (
+              SELECT doc, unnest(list_distinct(s)) AS shingle FROM sh
+            ), counts AS (
+              SELECT doc, len(list_distinct(s)) AS n_sh FROM sh
+            ), shared AS (
+              SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS shared
+              FROM ex a JOIN ex b USING (shingle)
+              WHERE a.doc < b.doc GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b
+            FROM shared
+            JOIN counts ca ON ca.doc = id_a
+            JOIN counts cb ON cb.doc = id_b
+            WHERE shared * 1000000 >= 800000 * (ca.n_sh + cb.n_sh - shared)
+    """
     return {
         "seed_clean": f"""
             SELECT DISTINCT {seed_url} AS url FROM documents
@@ -657,24 +692,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, is_quality
         """,
-        "ngram_jaccard_dedup": f"""
-            WITH sh AS (
-              SELECT doc_id AS doc, list_distinct({shingles}) AS s FROM documents
-              WHERE len({shingles}) > 0
-            ), ex AS (
-              SELECT doc, unnest(list_distinct(s)) AS shingle FROM sh
-            ), counts AS (
-              SELECT doc, len(list_distinct(s)) AS n_sh FROM sh
-            ), shared AS (
-              SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS shared
-              FROM ex a JOIN ex b USING (shingle)
-              WHERE a.doc < b.doc GROUP BY 1, 2
+        "ngram_jaccard_dedup": jaccard_pairs,
+        # transitive closure of the SAME pair set, min-reachable-label per
+        # doc; isolated docs are singleton components of themselves
+        "dedup_clusters": f"""
+            WITH RECURSIVE edges AS (
+              SELECT id_a AS a, id_b AS b FROM ({jaccard_pairs})
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM ({jaccard_pairs})
+            ), r AS (
+              SELECT doc_id AS v, doc_id AS u FROM documents
+              UNION
+              SELECT r.v, e.b FROM r JOIN edges e ON r.u = e.a
             )
-            SELECT id_a, id_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b
-            FROM shared
-            JOIN counts ca ON ca.doc = id_a
-            JOIN counts cb ON cb.doc = id_b
-            WHERE shared * 1000000 >= 800000 * (ca.n_sh + cb.n_sh - shared)
+            SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS component_id
+            FROM r GROUP BY v
         """,
         "frame_sampling": """
             SELECT doc_id AS media_id,

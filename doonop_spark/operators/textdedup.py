@@ -41,6 +41,8 @@ __all__ = [
     "simhash_pairs",
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
+    "dedup_components",
+    "dedup_keep",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -316,3 +318,77 @@ def embedding_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: ``(doc_id,
+    component_id)`` where component_id = the minimum doc id reachable
+    through pair edges — the canonical "keeper" of each duplicate cluster.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels (one join + one min-agg per
+    round, lineage cut by an eager localCheckpoint so the plan stays flat).
+    Converges in graph-diameter rounds — near-dup clusters are shallow
+    (stars/chains of a few hops), so this is 2-4 rounds in practice; the
+    driver stops as soon as a round changes nothing. Shuffle volume per
+    round is O(edges), never materializing the transitive closure.
+
+    ``vertices`` (optional, one ``doc_id``-compatible column named by
+    ``id_a``) adds isolated documents as singleton components.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("a").alias("v")).distinct()
+    if vertices is not None:
+        labels = labels.unionByName(
+            vertices.select(F.col(vertices.columns[0]).cast("long").alias("v"))
+        ).distinct()
+    labels = labels.withColumn("label", F.col("v")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["a"] == labels["v"])
+            .select(F.col("b").alias("v"), "label")
+        )
+        new_labels = (
+            labels.select("v", "label")
+            .unionByName(neigh)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("v", F.col("label").alias("old")), "v"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def dedup_keep(
+    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """The end-to-end dedup deliverable: drop every row whose id belongs to
+    a near-dup cluster but is not that cluster's keeper (minimum id).
+    Rows in no pair survive untouched."""
+    comp = dedup_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("__loser")
+    )
+    return df.join(losers, df[id_col] == F.col("__loser"), "left_anti")

@@ -388,6 +388,37 @@ def test_resume_with_compaction(spark, tmp_path):
     )
 
 
+def test_crawl_delay_budget_enforced_per_wave(spark):
+    """north_star politeness: a host whose robots.txt sets Crawl-delay gets
+    at most floor(wave_seconds/delay) dispatches per wave — observable in
+    the metrics table lineage — while the crawl still completes."""
+    from doonop_spark.sources.corpus import synthetic_robots
+
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=40, hot_share=0.5)
+    # host0: 1 req / 10 s ⇒ budget = floor(30/10) = 3 per wave; host1: free
+    robots = synthetic_robots(spark, n_hosts=2, crawl_delay={0: 10.0})
+    job = CrawlJob(
+        seeds=["http://h0000.example/p0", "http://h0001.example/p0"],
+        engines=None,
+        per_host_budget=1000,
+        use_robots=True,
+        wave_seconds=30.0,
+    )
+    res = run_crawl(spark, job, corpus, robots=robots)
+    assert res.stats.count_visited == 40  # budget throttles, never starves
+    per_wave = {
+        (r.iteration, r.host): r.n
+        for r in res.metrics.groupBy("iteration", "host")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    hot = [n for (it, h), n in per_wave.items() if h == "h0000.example"]
+    free = [n for (it, h), n in per_wave.items() if h == "h0001.example"]
+    assert max(hot) <= 3  # Crawl-delay budget respected every wave
+    assert max(free) > 3  # the unconstrained host is NOT throttled
+    assert len(hot) >= 6  # the throttled host needed many more waves
+
+
 def test_metrics_lineage(spark):
     corpus = synthetic_corpus(spark, n_hosts=2, n_pages=20)
     res = run_crawl(

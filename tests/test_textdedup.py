@@ -120,6 +120,48 @@ def test_embedding_lsh_pairs_vs_brute_force(spark):
     assert lsh == brute  # all true pairs recovered (fixed planes, det.)
 
 
+def test_dedup_components_vs_union_find(spark):
+    """Distributed min-label propagation == driver union-find on the same
+    edges (chain, triangle, singleton-with-vertices, isolated)."""
+    from doonop_spark.operators.textdedup import dedup_components, dedup_keep
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long")
+
+    # driver-side union-find oracle
+    parent = {v: v for v, in verts.collect()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    # canonicalize: representative = min of component
+    comp_min = {}
+    for v, r in want.items():
+        comp_min.setdefault(find(r), []).append(v)
+    want = {v: min(ms) for r, ms in comp_min.items() for v in ms}
+
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup_components(pairs, vertices=verts).collect()
+    }
+    assert got == want
+    assert got[99] == 99  # isolated vertex is its own singleton
+
+    # dedup_keep drops non-keepers only
+    df = verts.withColumn("payload", F.col("doc_id") * 10)
+    kept = sorted(r.doc_id for r in dedup_keep(df, pairs, "doc_id").collect())
+    assert kept == [1, 10, 20, 99]
+
+
 def test_minhash_on_real_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
