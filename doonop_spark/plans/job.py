@@ -247,12 +247,26 @@ def job_from_argv(argv: list[str]) -> CrawlJob:
 
     code, code_type = open_code_file(a.check_file, a.check_file_format)
     side_program = None
+    stripped = code.strip().rstrip(";")
     if code_type == "side":
         check = "side"  # P3: run the program, collect its RESULT variable
         side_program = code
-    elif code.strip().rstrip(";") == DEFAULT_CODE:
+    elif stripped == DEFAULT_CODE:
         check = "url"
+    # recognized one-liner JS programs (the reference executes arbitrary JS
+    # in a live browser, src/backend.rs:113-123; a corpus-join engine can
+    # honestly evaluate the document-shaped subset): title and raw html
+    elif stripped in ("return document.title", "return window.document.title"):
+        check = "title"
+    elif stripped in (
+        "return document.documentElement.outerHTML",
+        "return document.documentElement.innerHTML",
+    ):
+        check = "html"
     else:
+        # any other program maps to the registered-extraction surface
+        # (§2.10): the flagship byte-exact text extraction by default,
+        # overridable with an arbitrary Column via run_crawl(data_expr=...)
         check = "text"
 
     # --retry-threshold-milis is wall-clock in the reference; the loop's

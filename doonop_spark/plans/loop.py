@@ -98,7 +98,7 @@ def _empty_results(spark: SparkSession) -> DataFrame:
 
 def _empty_metrics(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        [], "iteration int, host string, status string, n long"
+        [], "iteration int, partition_id int, host string, status string, n long"
     )
 
 
@@ -131,18 +131,34 @@ def run_crawl(
     checkpoint is resumable.
     """
     io = io or MemoryTableIO()
-    side_udf = None
+    # check_data_fn: optional Column factory over (url, html) evaluated
+    # INSIDE the fetch stage (shape() below), for check programs that need
+    # the raw page: Side programs (Arrow UDF) and the recognized JS
+    # one-liners (pure JVM exprs — title regex / html decode)
+    check_data_fn = None
     if data_expr is None and job.check == "url":
         data_expr = F.col("url")
     elif job.check == "side":
-        # P3: the Side program runs against every fetched page inside the
-        # same wave⋈corpus stage (shape() below adds the side_data column);
-        # its stored RESULT — null included — is the collected value
+        # P3: the Side program runs against every fetched page; its stored
+        # RESULT — null included — is the collected value
         from doonop_spark.functions.side import side_data_udf
 
         side_udf = side_data_udf(job.side_program or "{}")
+        check_data_fn = lambda: side_udf(F.col("url"), F.col("html"))
         if data_expr is None:
-            data_expr = F.col("side_data")
+            data_expr = F.col("check_data")
+    elif job.check == "title":
+        check_data_fn = lambda: F.regexp_extract(
+            F.decode(F.col("html"), "UTF-8"),
+            r"(?i)<title[^>]*>([\s\S]*?)</title\s*>",
+            1,
+        )
+        if data_expr is None:
+            data_expr = F.col("check_data")
+    elif job.check == "html":
+        check_data_fn = lambda: F.decode(F.col("html"), "UTF-8")
+        if data_expr is None:
+            data_expr = F.col("check_data")
 
     # ---- init / resume -----------------------------------------------------
     state = io.load_state() if resume else None
@@ -304,12 +320,12 @@ def run_crawl(
                 F.when(F.col("status") == "ok", extract_page_udf("url", "html")),
             )
             extra = []
-            if side_udf is not None:
+            if check_data_fn is not None:
                 joined = joined.withColumn(
-                    "side_data",
-                    F.when(F.col("status") == "ok", side_udf(F.col("url"), F.col("html"))),
+                    "check_data",
+                    F.when(F.col("status") == "ok", check_data_fn()),
                 )
-                extra = ["side_data"]
+                extra = ["check_data"]
             return joined.select(
                 "url",
                 "ukey",
@@ -391,12 +407,23 @@ def run_crawl(
             stats.count_retries += n_timeout
         collected += n_ok
 
-        # per-host lineage metrics derive from the checkpointed wave; lazy
-        # in memory mode (only read at loop end), written in durable mode
+        # per-(iteration, partition, host, status) lineage metrics — the
+        # partition_id records WHICH executor partition of the fetched wave
+        # produced each count (north_rule per-partition lineage); derived
+        # from the checkpointed wave; lazy in memory mode (only read at
+        # loop end), written in durable mode
         io.append(
-            fetched.groupBy("host", "status")
+            fetched.groupBy(
+                F.spark_partition_id().alias("partition_id"), "host", "status"
+            )
             .agg(F.count("*").alias("n"))
-            .select(F.lit(iteration).alias("iteration"), "host", "status", "n"),
+            .select(
+                F.lit(iteration).alias("iteration"),
+                "partition_id",
+                "host",
+                "status",
+                "n",
+            ),
             "metrics",
             iteration,
             eager=False,

@@ -159,6 +159,31 @@ def test_run_side_program_commands():
     assert run_side_program(cmds, "http://x/", html) == "A & B|Hi there"
 
 
+def test_recognized_js_programs(spark, tmp_path):
+    """S3/P2: the document-shaped JS one-liners the engine can honestly
+    evaluate without a browser — document.title and outerHTML — map to
+    JVM expressions over the fetched page; anything else falls back to the
+    registered-extraction surface (flagship text)."""
+    from doonop_spark.plans.job import CrawlJob, job_from_argv
+    from doonop_spark.plans.loop import run_crawl
+    from doonop_spark.sources.corpus import fixture_site_corpus
+
+    js = tmp_path / "title.js"
+    js.write_text("return document.title;")
+    job = job_from_argv(["--check-file", str(js), "http://localhost:8000/basic/index.html"])
+    assert job.check == "title"
+    res = run_crawl(spark, job, fixture_site_corpus(spark))
+    got = {r.url: r.data for r in res.results.collect()}
+    assert got == {
+        "http://localhost:8000/basic/index.html": "Index",
+        "http://localhost:8000/basic/about.html": "About",
+    }
+
+    js2 = tmp_path / "other.js"
+    js2.write_text("return document.querySelector('p').innerText;")
+    assert job_from_argv(["--check-file", str(js2), "http://x/"]).check == "text"
+
+
 def test_side_null_is_collected(spark):
     """src/lib.rs:125-133: a program that never stores RESULT collects
     json null — the row still lands and counts toward collected/limit."""

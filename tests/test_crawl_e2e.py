@@ -427,6 +427,7 @@ def test_metrics_lineage(spark):
         corpus,
     )
     m = res.metrics
-    assert set(m.columns) == {"iteration", "host", "status", "n"}
+    assert set(m.columns) == {"iteration", "partition_id", "host", "status", "n"}
     total = m.agg(F.sum("n")).collect()[0][0]
     assert total == res.stats.count_visited
+    assert m.filter(F.col("partition_id").isNull()).count() == 0
