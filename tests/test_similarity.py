@@ -59,6 +59,23 @@ def test_brute_force_topk_exact(spark, emb, queries):
         assert got[0] == q.vec_id
 
 
+def test_brute_force_tie_break_at_k_boundary(spark):
+    """Regression: many IDENTICAL vectors tie on exact cosine right at the
+    k cut — the per-batch partial top-k must keep the smallest neighbor
+    ids (the global window's tiebreak), not an arbitrary tied subset.
+    One partition per row forces every tie to cross a batch boundary."""
+    dup = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, dup) for i in range(20)] + [(i, other) for i in range(20, 30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(30)
+    q = spark.createDataFrame([(0, dup)], "vec_id long, embedding array<float>")
+    got = [
+        r.neighbor_id
+        for r in brute_force_topk(emb, q, k=5).orderBy("rank").collect()
+    ]
+    assert got == [0, 1, 2, 3, 4]  # smallest ids among the 20-way tie
+
+
 def test_lsh_recall_vs_brute_force(spark, emb, queries):
     exact = brute_force_topk(emb, queries, k=10)
     # random embeddings are LSH's worst case (pairwise sims near-uniform):
