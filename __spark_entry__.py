@@ -297,6 +297,12 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Karp-Rabin mod 2^64, window minima). The
+    hash is plain integer arithmetic, so the DuckDB oracle replicates it
+    exactly with HUGEINT math over the (all-ASCII) text bytes; the
+    projected stats (size / signed min / signed max) are order-independent,
+    dodging the unsigned-vs-signed sort difference between np.unique and
+    list_sort."""
     from doonop_spark.functions.text import winnow_fingerprint_udf
 
     docs = _read(spark, sf_dir, "documents")
@@ -400,8 +406,12 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode plumbing over opaque binary payloads (deterministic fake
-    codec ⇒ rows-only oracle)."""
+    """Decode plumbing over opaque binary payloads. The fake codec expands
+    sha256(payload) into an 8x8 frame, so its statistics ARE
+    SQL-expressible: pixel_sum = round(mean·64·255) recovers the integer
+    digest-byte sum exactly (float32 accumulation error ≤ 0.03 ≪ 0.5),
+    giving this query an exact DuckDB oracle (hex-nibble arithmetic over
+    DuckDB's sha256)."""
     from doonop_spark.functions.multimodal import decode_media
 
     docs = _read(spark, sf_dir, "documents")
@@ -414,7 +424,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8).alias("height"),
         F.lit(0).alias("duration_ms"),
     )
-    return decode_media(media).select("media_id", "mean", "std")
+    return decode_media(media).select(
+        "media_id",
+        F.round(F.col("mean") * (64 * 255)).cast("long").alias("pixel_sum"),
+        F.col("shape")[0].alias("frame_h"),
+        F.col("shape")[1].alias("frame_w"),
+    )
 
 
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,6 +731,63 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": """
             SELECT doc_id FROM documents
             WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        """,
+        # exact Karp-Rabin replication: per 8-gram, sum(byte_j * base^(7-j))
+        # mod 2^64 in HUGEINT (powers of 1000003 precomputed mod 2^64);
+        # winnow window=4 minima (unsigned order = HUGEINT order), distinct,
+        # two's-complement into BIGINT; text is verified all-ASCII so
+        # ord(char) == utf-8 byte. Output stats are order-independent.
+        "winnow_fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 8 THEN rpad(text, 8, ' ')
+                          ELSE text END AS s
+              FROM documents WHERE length(text) > 0
+            ), h AS (
+              SELECT doc_id,
+                list_transform(generate_series(1, greatest(length(s) - 7, 1)), i ->
+                  ( ord(substr(s, i+0, 1)) * CAST(12924618581234127435 AS HUGEINT)
+                  + ord(substr(s, i+1, 1)) * CAST(10923514805226455897 AS HUGEINT)
+                  + ord(substr(s, i+2, 1)) * CAST(14453212906556403763 AS HUGEINT)
+                  + ord(substr(s, i+3, 1)) * CAST(14003818205314896721 AS HUGEINT)
+                  + ord(substr(s, i+4, 1)) * CAST(1000009000027000027 AS HUGEINT)
+                  + ord(substr(s, i+5, 1)) * CAST(1000006000009 AS HUGEINT)
+                  + ord(substr(s, i+6, 1)) * CAST(1000003 AS HUGEINT)
+                  + ord(substr(s, i+7, 1))
+                  ) % CAST(18446744073709551616 AS HUGEINT)
+                ) AS rh
+              FROM t
+            ), sel AS (
+              SELECT doc_id,
+                CASE WHEN len(rh) <= 4 THEN [list_min(rh)]
+                     ELSE list_transform(generate_series(1, len(rh) - 3),
+                                         i -> list_min(rh[i:i+3]))
+                END AS mins
+              FROM h
+            ), fp AS (
+              SELECT doc_id,
+                list_distinct(list_transform(mins, v ->
+                  CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                            THEN v - CAST(18446744073709551616 AS HUGEINT)
+                            ELSE v END AS BIGINT))) AS f
+              FROM sel
+            )
+            SELECT doc_id, len(f) AS n_fp,
+                   list_min(f) AS fp_min, list_max(f) AS fp_max
+            FROM fp
+        """,
+        # fake codec: frame = sha256(payload) digest duplicated to 64 bytes
+        # /255 ⇒ pixel_sum = 2 × (sum of the 32 digest bytes), recovered
+        # here by hex-nibble arithmetic; shape is the fixed 8×8 frame
+        "multimodal_decode": """
+            WITH d AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents)
+            SELECT media_id,
+                   CAST(2 * list_sum(list_transform(generate_series(0, 31), i ->
+                        (strpos('0123456789abcdef', substr(h, 1 + 2*i, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(h, 2 + 2*i, 1)) - 1)
+                   )) AS BIGINT) AS pixel_sum,
+                   CAST(8 AS INT) AS frame_h, CAST(8 AS INT) AS frame_w
+            FROM d
         """,
         "surt_key": """
             SELECT doc_id,
