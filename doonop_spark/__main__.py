@@ -66,10 +66,14 @@ def main(argv: list[str] | None = None) -> int:
     ext.add_argument("--robots-table", help="parquet path of (host, robots_txt)")
     ext.add_argument("--table-root", help="durable checkpoint dir (resumable)")
     ext.add_argument("--resume", action="store_true")
+    ext.add_argument("--bloom-partitions", type=int, default=0)
+    ext.add_argument("--seen-compact-every", type=int, default=8)
     ours, rest = ext.parse_known_args(argv)
 
     job = job_from_argv(rest)
     job.corpus_buckets = ours.corpus_buckets
+    job.bloom_partitions = ours.bloom_partitions
+    job.seen_compact_every = ours.seen_compact_every
 
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")

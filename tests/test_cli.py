@@ -90,6 +90,31 @@ def test_cli_basic_golden(fixture_corpus_path):
     assert json.loads(lines[1]) == "http://localhost:8000/basic/about.html"
 
 
+def test_cli_scale_knobs_identical_output(fixture_corpus_path):
+    # --bloom-partitions / --seen-compact-every change only the physical
+    # seen-set strategy; stdout (collection order) and the stats line must
+    # be byte-identical to the plain run.
+    plain = run_cli(
+        ["--corpus", fixture_corpus_path, "http://localhost:8000/basic/index.html"]
+    )
+    knobs = run_cli(
+        [
+            "--corpus",
+            fixture_corpus_path,
+            "--bloom-partitions",
+            "8",
+            "--seen-compact-every",
+            "2",
+            "http://localhost:8000/basic/index.html",
+        ]
+    )
+    assert knobs.returncode == 0
+    assert knobs.stdout == plain.stdout
+    assert knobs.stderr.endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0\n"
+    ), knobs.stderr[-500:]
+
+
 def test_cli_side_file_golden(fixture_corpus_path, tmp_path):
     # tests/crawling.rs:25-41 — side program output contains THE RESULT
     side = tmp_path / "default.side.json"
