@@ -571,6 +571,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replay of ``lang_id_py``: whitespace-split lowercase words,
+    count stopword-marker hits per language, argmax with first-language-
+    wins tie-break (the kernel's ``n > best_n`` iteration order)."""
+    from doonop_spark.functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    words = "regexp_split_to_array(lower(text), '\\s+')"
+    counts = ", ".join(
+        f"len(list_filter({words}, w -> w IN ("
+        + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+        + f"))) AS c_{lang}"
+        for lang in langs
+    )
+    whens = " ".join(
+        "WHEN "
+        + (" AND ".join(f"c_{lang} >= c_{o}" for o in langs[i + 1 :]) or "TRUE")
+        + f" THEN '{lang}'"
+        for i, lang in enumerate(langs)
+    )
+    guess = (
+        f"CASE WHEN c_{langs[0]} IS NULL THEN NULL"
+        f" WHEN greatest({', '.join('c_' + l for l in langs)}) = 0"
+        f" THEN 'und' {whens} END"
+    )
+    return f"""
+        WITH c AS (SELECT {counts} FROM documents)
+        SELECT {guess} AS lang_guess, count(*) AS n FROM c GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     doc_url = (
         "'http://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')"
@@ -845,4 +876,5 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
+        "lang_id_heuristic": _lang_id_oracle_sql(),
     }

@@ -71,6 +71,45 @@ def test_lang_id():
     assert lang_id_py(None) is None
 
 
+def test_lang_id_oracle_parity_adversarial():
+    """The DuckDB oracle replays lang_id_py exactly — including the
+    first-language-wins tie-break and whitespace/None edge cases the
+    sf0.01 documents table (en/und only) never exercises."""
+    import duckdb
+
+    from __spark_entry__ import _lang_id_oracle_sql
+
+    texts = [
+        "the cat sat on the mat and it was good",
+        "der Hund und die Katze ist nicht da",
+        "le chat est dans la maison pour les vacances",
+        "la la la",  # fr/es/it 3-way tie -> fr (first in marker order)
+        "the der le el il",  # 5-way single-vote tie -> en
+        "que por con una es",  # es outvotes fr on shared markers
+        "di un per sono una del",
+        "",  # empty -> und
+        "   \t  ",  # whitespace-only -> und
+        "zzz qqq xxx",  # no markers -> und
+        None,  # null -> null
+        "THE AND OF TO IS",  # case folding
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    # per-row variant of the grouped oracle: same CTE, no GROUP BY
+    per_row = _lang_id_oracle_sql()
+    inner = per_row.split("WITH c AS (SELECT ", 1)[1]
+    counts_sql, rest = inner.split(" FROM documents)", 1)
+    guess_sql = rest.split("SELECT ", 1)[1].split(" AS lang_guess", 1)[0]
+    rows = con.execute(
+        f"WITH c AS (SELECT rowid AS i, {counts_sql} FROM documents) "
+        f"SELECT {guess_sql} FROM c ORDER BY i"
+    ).fetchall()
+    got = [r[0] for r in rows]
+    want = [lang_id_py(t) for t in texts]
+    assert got == want
+
+
 def test_winnow_fingerprint_properties():
     a = winnow_fingerprint_py("the quick brown fox jumps over the lazy dog")
     b = winnow_fingerprint_py("the quick brown fox jumps over the lazy dog")
