@@ -7,10 +7,12 @@ SQL-expressible. Column names/aliases match pairwise so the driver's
 order-insensitive value-hash comparison is meaningful. Timestamps are
 projected as unix microseconds on both sides to dodge dialect formatting.
 
-Non-SQL-expressible entries (iterative crawl internals aside — the BFS
-*result set* IS expressible and oracled; MinHash/SimHash/winnowing use
-engine-specific hashes) are listed in ``queries()`` without an oracle,
-giving the driver's weaker rows-only check.
+Only two entries remain oracle-less (driver's weaker rows-only check):
+``minhash_lsh_dedup`` and ``simhash_dedup``, whose signatures come from
+Spark's own xxhash64 (not replayable in DuckDB); both are equivalence-
+tested against exact Jaccard / Hamming in pytest. Everything else —
+including winnowing (rolling hash replayed in SQL) and the hyperplane-LSH
+queries (fixed-seed planes inlined as DOUBLE literals) — is exact-oracled.
 """
 
 from __future__ import annotations
@@ -350,8 +352,10 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket search (approximate ⇒ rows-only check;
-    recall vs brute force is pinned in tests/test_similarity.py)."""
+    """Random-hyperplane LSH bucket search. Exact-oracled: the fixed-seed
+    hyperplanes are inlined into the DuckDB SQL, so the approximate result
+    is itself deterministic and replayed bit-for-bit; recall vs brute
+    force is additionally pinned in tests/test_similarity.py."""
     from doonop_spark.operators.similarity import lsh_bucket_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -376,9 +380,10 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: hyperplane-LSH-bucketed pair candidates, exact-cosine
-    verified (no false positives; recall < 1 by construction ⇒ rows-only
-    check here; containment + recall vs the brute-force oracle is pinned
-    in tests/test_textdedup.py)."""
+    verified (no false positives). Exact-oracled: the fixed-seed planes
+    are inlined into the DuckDB SQL so the bucketing replays bit-for-bit;
+    containment + recall vs brute force is pinned in
+    tests/test_textdedup.py."""
     from doonop_spark.operators.textdedup import embedding_lsh_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -569,6 +574,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
     }
+
+
+def _lsh_bucket_list_sql(n_planes: int, n_tables: int, dim: int = 64) -> str:
+    """DuckDB replay of ``similarity.signature_frame``: the fixed-seed
+    hyperplanes are inlined as DOUBLE literals (repr round-trips exactly),
+    so bucket keys match the engine bit-for-bit. Sign parity is safe: the
+    smallest |dot| over sf0.01 embeddings x planes is 1.5e-4 (relative
+    1.7e-5), ~11 orders of magnitude above float64 summation noise."""
+    from doonop_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes * n_tables)
+
+    def dot(i: int) -> str:
+        lits = ", ".join(repr(float(x)) for x in planes[i])
+        return f"list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}])"
+
+    buckets = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot(t * n_planes + p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"({bits} + {t << n_planes})")
+    return "[" + ", ".join(buckets) + "]"
 
 
 def _lang_id_oracle_sql() -> str:
@@ -877,4 +906,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
         "lang_id_heuristic": _lang_id_oracle_sql(),
+        "embedding_dedup_lsh": f"""
+            WITH sig AS (
+              SELECT vec_id, {_lsh_bucket_list_sql(4, 16)} AS bks
+              FROM embeddings
+            ), ex AS (
+              SELECT vec_id, unnest(bks) AS bucket FROM sig
+            ), cand AS (
+              SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM ex x JOIN ex y USING (bucket) WHERE x.vec_id < y.vec_id
+            )
+            SELECT id_a, id_b FROM cand
+            JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "ann_topk_lsh": f"""
+            WITH sig AS (
+              SELECT vec_id, {_lsh_bucket_list_sql(8, 8)} AS bks
+              FROM embeddings
+            ), ex AS (
+              SELECT vec_id, unnest(bks) AS bucket FROM sig
+            ), cand AS (
+              SELECT DISTINCT qx.vec_id AS qid, cx.vec_id AS cid
+              FROM ex qx JOIN ex cx USING (bucket)
+              WHERE qx.vec_id IN
+                (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+            )
+            SELECT qid AS query_id, cid AS neighbor_id, rank FROM (
+              SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid
+                ORDER BY list_cosine_similarity(qv.embedding, cv.embedding)
+                           DESC, cid ASC) AS rank
+              FROM cand JOIN embeddings qv ON qv.vec_id = qid
+                        JOIN embeddings cv ON cv.vec_id = cid)
+            WHERE rank <= 10
+        """,
     }
