@@ -133,11 +133,16 @@ def bfs_crawl_seconds(
     corpus_path: str,
     corpus_buckets: int = 0,
     bloom_partitions: int = 0,
+    politeness: bool = False,
 ) -> tuple[float, int]:
     """Full iterative BFS crawl wall time on a reduced corpus (the loop
     includes per-wave materialization overhead). ``corpus_buckets``/
     ``bloom_partitions`` exercise the storage-partitioned fetch and the
-    bloom seen-sidecar (the 100 TB scale paths) on the same input."""
+    bloom seen-sidecar (the 100 TB scale paths) on the same input.
+    ``politeness`` adds a robots table whose hot-host Crawl-delay caps the
+    host at 15% of the corpus per wave — the grouped-priority-queue
+    scheduler (applyInPandas budgets) under a binding constraint; the
+    visited set is unchanged (budgets defer, never drop)."""
     from doonop_spark.plans.job import CrawlJob
     from doonop_spark.plans.loop import run_crawl
 
@@ -151,9 +156,18 @@ def bfs_crawl_seconds(
         corpus_buckets=corpus_buckets,
         bloom_partitions=bloom_partitions,
         bloom_expected_per_partition=max(N_PAGES // max(bloom_partitions, 1), 1024),
+        use_robots=politeness,
     )
+    robots = None
+    if politeness:
+        from doonop_spark.sources.corpus import synthetic_robots
+
+        # budget = floor(wave_seconds / delay) = 15% of the corpus per wave
+        # for the hot host (which owns 30%): binds at the BFS peak waves
+        delay = job.wave_seconds / max(int(N_PAGES * 0.15), 1)
+        robots = synthetic_robots(spark, n_hosts=N_HOSTS, crawl_delay={0: delay})
     t0 = time.monotonic()
-    res = run_crawl(spark, job, corpus)
+    res = run_crawl(spark, job, corpus, robots=robots)
     dt = time.monotonic() - t0
     return dt, res.stats.count_visited
 
@@ -237,6 +251,9 @@ def main() -> None:
     crawl_bloom_s, visited_bl = bfs_crawl_seconds(spark, tmp, bloom_partitions=32)
     assert visited_bl == visited
     timings["bfs_crawl_bloom"] = round(crawl_bloom_s, 3)
+    crawl_polite_s, visited_p = bfs_crawl_seconds(spark, tmp, politeness=True)
+    assert visited_p == visited  # budgets defer, never drop
+    timings["bfs_crawl_politeness"] = round(crawl_polite_s, 3)
 
     qs = entrymod.queries()
     for name in (
