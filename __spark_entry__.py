@@ -7,12 +7,12 @@ SQL-expressible. Column names/aliases match pairwise so the driver's
 order-insensitive value-hash comparison is meaningful. Timestamps are
 projected as unix microseconds on both sides to dodge dialect formatting.
 
-Only two entries remain oracle-less (driver's weaker rows-only check):
-``minhash_lsh_dedup`` and ``simhash_dedup``, whose signatures come from
-Spark's own xxhash64 (not replayable in DuckDB); both are equivalence-
-tested against exact Jaccard / Hamming in pytest. Everything else —
-including winnowing (rolling hash replayed in SQL) and the hyperplane-LSH
-queries (fixed-seed planes inlined as DOUBLE literals) — is exact-oracled.
+Every entry is exact-oracled — including the engine-hash pipelines:
+winnowing replays the Karp-Rabin rolling hash in HUGEINT SQL, the
+hyperplane-LSH queries inline their fixed-seed planes as DOUBLE literals,
+and MinHash/SimHash replay Spark's xxhash64 itself via a generated
+XXH64-in-SQL expression (``_xxh64_sql``, verified bit-for-bit against
+``F.xxhash64`` across all input-length classes).
 """
 
 from __future__ import annotations
@@ -281,8 +281,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (engine-specific hashes ⇒ rows-only
-    oracle; exactness vs the Jaccard oracle is covered in tests/)."""
+    """MinHash+LSH near-dup candidates. Exact-oracled: the DuckDB SQL
+    replays the full pipeline — Spark's xxhash64 included, via the
+    generated XXH64-in-SQL expression; recall vs exact Jaccard is
+    additionally covered in tests/."""
     from doonop_spark.operators.textdedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
@@ -574,6 +576,290 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
     }
+
+
+# --- XXH64 in DuckDB SQL -----------------------------------------------------
+# Spark's xxhash64 is spec XXH64 (Yann Collet's public xxHash, seed 42,
+# little-endian) — verified bit-for-bit against F.xxhash64 on empty /
+# sub-4 / sub-8 / sub-32 / stripe-boundary / 100+-byte inputs. Replaying
+# it in SQL lets the MinHash and SimHash pipelines be exact-oracled.
+# Arithmetic is HUGEINT mod 2^64; 64x64-bit multiplies use a 32-bit split
+# (the 128-bit product would overflow HUGEINT). Assumes 1 char == 1 byte
+# (ASCII — same assumption as the winnowing oracle; holds for the
+# synthetic documents corpus).
+
+_XXP1 = 11400714785074694791
+_XXP2 = 14029467366897019727
+_XXP3 = 1609587929392839161
+_XXP4 = 9650029242287828579
+_XXP5 = 2870177450012600261
+_M64 = 1 << 64
+_M32 = 1 << 32
+
+
+def _hg(v: int) -> str:
+    return f"CAST({v} AS HUGEINT)"
+
+
+_let_counter = [0]
+
+
+def _let(expr: str, body) -> str:
+    """SQL let-binding via a 1-element list_transform — keeps generated
+    expressions linear in size instead of exponential."""
+    _let_counter[0] += 1
+    v = f"xx{_let_counter[0]}"
+    return f"list_transform([{expr}], {v} -> {body(v)})[1]"
+
+
+def _mulmod(a: str, b_const: int) -> str:
+    """(a * b) % 2^64, a in [0,2^64), b a 64-bit constant (32-bit split)."""
+    bl, bh = b_const % _M32, b_const // _M32
+    return _let(
+        a,
+        lambda v: f"((((({v}) // {_M32}) * {_hg(bl)} + (({v}) % {_M32}) * {_hg(bh)})"
+        f" % {_M32}) * {_M32} + (({v}) % {_M32}) * {_hg(bl)}) % {_hg(_M64)}",
+    )
+
+
+def _rotl(x: str, r: int) -> str:
+    return _let(
+        x, lambda v: f"((({v}) * {1 << r}) % {_hg(_M64)} + (({v}) // {1 << (64 - r)}))"
+    )
+
+
+def _xxh64_sql(s_expr: str, seed: int = 42) -> str:
+    """SQL expr: signed-BIGINT XXH64 of the ASCII string expr
+    (bit-identical to Spark ``F.xxhash64(string)``)."""
+    v10 = (seed + _XXP1 + _XXP2) % _M64
+    v20 = (seed + _XXP2) % _M64
+    v30 = seed % _M64
+    v40 = (seed - _XXP1) % _M64
+
+    def xxh_round(v: str, k: str) -> str:
+        inner = _let(k, lambda kk: f"(({v}) + {_mulmod(kk, _XXP2)}) % {_hg(_M64)}")
+        return _mulmod(_rotl(inner, 31), _XXP1)
+
+    def merge_round(h: str, v: str) -> str:
+        r0 = _mulmod(_rotl(_mulmod(v, _XXP2), 31), _XXP1)
+        return _let(
+            f"xor({h}, {r0})",
+            lambda u: f"({_mulmod(u, _XXP1)} + {_hg(_XXP4)}) % {_hg(_M64)}",
+        )
+
+    def body(s: str) -> str:
+        bl_expr = (
+            f"list_transform(generate_series(1, length({s})), xxbi -> "
+            f"CAST(ord(substr({s}, xxbi, 1)) AS HUGEINT))"
+        )
+
+        def with_bl(bl: str) -> str:
+            def w64(o: str) -> str:
+                return (
+                    "("
+                    + " + ".join(
+                        f"{bl}[({o})+{j}] * {_hg(1 << (8 * j))}" for j in range(8)
+                    )
+                    + ")"
+                )
+
+            def w32(o: str) -> str:
+                return (
+                    "("
+                    + " + ".join(
+                        f"{bl}[({o})+{j}] * {_hg(1 << (8 * j))}" for j in range(4)
+                    )
+                    + ")"
+                )
+
+            n = f"length({s})"
+            stripes = (
+                f"list_transform(generate_series(0, ({n}) // 32 - 1), xxsi -> ["
+                + ", ".join(w64(f"32*xxsi + {1 + 8 * j}") for j in range(4))
+                + "])"
+            )
+            acc0 = f"[{_hg(v10)}, {_hg(v20)}, {_hg(v30)}, {_hg(v40)}]"
+            step = (
+                "(acc, ks) -> ["
+                + ", ".join(xxh_round(f"acc[{j + 1}]", f"ks[{j + 1}]") for j in range(4))
+                + "]"
+            )
+            vs = f"list_reduce(list_prepend({acc0}, {stripes}), {step})"
+
+            def merged(vsv: str) -> str:
+                h0 = (
+                    f"({_rotl(f'{vsv}[1]', 1)} + {_rotl(f'{vsv}[2]', 7)}"
+                    f" + {_rotl(f'{vsv}[3]', 12)} + {_rotl(f'{vsv}[4]', 18)}) % {_hg(_M64)}"
+                )
+                for j in range(4):
+                    h0 = merge_round(h0, f"{vsv}[{j + 1}]")
+                return h0
+
+            h_init = _let(
+                vs,
+                lambda vsv: f"CASE WHEN ({n}) >= 32 THEN {merged(vsv)} "
+                f"ELSE {_hg((seed + _XXP5) % _M64)} END",
+            )
+            h_len = f"({h_init} + ({n})) % {_hg(_M64)}"
+
+            words8 = (
+                f"list_transform(generate_series(0, (({n}) % 32) // 8 - 1), xxwj -> "
+                + w64(f"(({n}) // 32) * 32 + 8*xxwj + 1")
+                + ")"
+            )
+            round0k = _mulmod(_rotl(_mulmod("k", _XXP2), 31), _XXP1)
+            step8 = (
+                f"(a, k) -> ({_mulmod(_rotl(f'xor(a, {round0k})', 27), _XXP1)}"
+                f" + {_hg(_XXP4)}) % {_hg(_M64)}"
+            )
+            h8 = f"list_reduce(list_prepend({h_len}, {words8}), {step8})"
+
+            def h4(hh: str) -> str:
+                k4 = w32(f"({n}) - (({n}) % 8) + 1")
+                return (
+                    f"CASE WHEN ({n}) % 8 >= 4 THEN "
+                    f"({_mulmod(_rotl(f'xor({hh}, ({k4} * {_hg(_XXP1)}) % {_hg(_M64)})', 23), _XXP2)}"
+                    f" + {_hg(_XXP3)}) % {_hg(_M64)} ELSE {hh} END"
+                )
+
+            hb_in = _let(h8, h4)
+            tailb = f"{bl}[(({n}) - (({n}) % 4) + 1):({n})]"
+            stepb = (
+                f"(a, b) -> "
+                f"{_mulmod(_rotl(f'xor(a, (b * {_hg(_XXP5)}) % {_hg(_M64)})', 11), _XXP1)}"
+            )
+            hb = f"list_reduce(list_prepend({hb_in}, {tailb}), {stepb})"
+
+            av = _let(hb, lambda h: f"xor({h}, ({h}) // {1 << 33})")
+            av = _mulmod(av, _XXP2)
+            av = _let(av, lambda h: f"xor({h}, ({h}) // {1 << 29})")
+            av = _mulmod(av, _XXP3)
+            av = _let(av, lambda h: f"xor({h}, ({h}) // {1 << 32})")
+            return (
+                f"CAST(CASE WHEN {av} >= {_hg(1 << 63)} THEN {av} - {_hg(_M64)} "
+                f"ELSE {av} END AS BIGINT)"
+            )
+
+        return _let(bl_expr, with_bl)
+
+    return _let(s_expr, body)
+
+
+def _xxh64_unsigned_sql(s_expr: str) -> str:
+    """XXH64 as HUGEINT in [0, 2^64) — for bit/modular post-processing."""
+    signed = _xxh64_sql(s_expr)
+    return (
+        f"list_transform([{signed}], xxsv -> CASE WHEN xxsv < 0 "
+        f"THEN CAST(xxsv AS HUGEINT) + {_hg(_M64)} ELSE CAST(xxsv AS HUGEINT) END)[1]"
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of ``textdedup.simhash_pairs``: whitespace tokens
+    (duplicates kept) → XXH64 per token → per-bit majority vote → 16-bit
+    chunk pigeonhole buckets → Hamming ≤ 3 verify. Bit-exact: the token
+    hash replays Spark's xxhash64 and the voting is integer-only."""
+    tok_hashes = (
+        "list_transform(regexp_split_to_array(trim(text), '\\s+'), xxtok -> "
+        + _xxh64_unsigned_sql("xxtok")
+        + ")"
+    )
+    pows = "[" + ", ".join(_hg(1 << j) for j in range(64)) + "]"
+    sh_of = (
+        f"list_transform([{pows}], xxpw -> "
+        f"list_sum(list_transform(generate_series(1, 64), xxbj -> "
+        f"CASE WHEN 2 * list_sum(list_transform(xxth, xxhh -> (xxhh // xxpw[xxbj]) % 2))"
+        f" > len(xxth) THEN xxpw[xxbj] ELSE {_hg(0)} END)))[1]"
+    )
+    sh = f"list_transform([{tok_hashes}], xxth -> {sh_of})[1]"
+    return f"""
+        WITH hashed AS (
+          SELECT doc_id AS doc, {sh} AS shu FROM documents
+        ), sgn AS (
+          SELECT doc, shu,
+                 CAST(CASE WHEN shu >= {_hg(1 << 63)} THEN shu - {_hg(_M64)}
+                      ELSE shu END AS BIGINT) AS sh
+          FROM hashed
+        ), chunks AS (
+          SELECT doc, sh, c.chunk, CAST((shu // c.p) % 65536 AS INT) AS key
+          FROM sgn, (VALUES (0, {_hg(1)}), (1, {_hg(1 << 16)}),
+                            (2, {_hg(1 << 32)}), (3, {_hg(1 << 48)})) AS c(chunk, p)
+        ), cand AS (
+          SELECT DISTINCT x.doc AS id_a, y.doc AS id_b, x.sh AS sh_a, y.sh AS sh_b
+          FROM chunks x JOIN chunks y USING (chunk, key)
+          WHERE x.doc < y.doc
+        )
+        SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+
+def _minhash_oracle_sql(
+    k: int = 5, n_hashes: int = 128, n_bands: int = 32
+) -> str:
+    """DuckDB replay of ``textdedup.minhash_lsh_pairs``: distinct word
+    5-shingles → XXH64 per shingle mod 2^61-1 → 128 affine-min signature
+    components (same fixed-seed (a,b) params as the engine, inlined as
+    literals) → XXH64 band keys over ','-joined 4-slices → bucket join →
+    agreement ≥ 0.8 verify (integer form: 5·agree ≥ 512)."""
+    import numpy as np
+
+    m61 = (1 << 61) - 1
+    rows_per_band = n_hashes // n_bands
+    rng = np.random.default_rng(0xD00)
+    a = rng.integers(1, m61, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, m61, size=n_hashes, dtype=np.uint64)
+    A = "[" + ", ".join(_hg(int(x)) for x in a) + "]"
+    B = "[" + ", ".join(_hg(int(x)) for x in b) + "]"
+
+    tokens = "regexp_split_to_array(trim(text), '\\s+')"
+    n_words = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({tokens}) END"
+    shingles = (
+        f"CASE WHEN trim(text) = '' THEN [] "
+        f"WHEN {n_words} <= {k} THEN [array_to_string({tokens}, ' ')] "
+        f"ELSE list_transform(generate_series(1, {n_words} - {k - 1}),"
+        f" xxi -> array_to_string({tokens}[xxi:xxi+{k - 1}], ' ')) END"
+    )
+    hv = (
+        f"list_transform(list_distinct({shingles}), xxsg -> "
+        + _xxh64_unsigned_sql("xxsg")
+        + f" % {_hg(m61)})"
+    )
+    sig = (
+        f"list_transform([{A}], xxaa -> list_transform([{B}], xxbb -> "
+        f"list_transform([{hv}], xxhs -> "
+        f"list_transform(generate_series(1, {n_hashes}), xxsi -> "
+        f"CAST(list_min(list_transform(xxhs, xxhh ->"
+        f" (xxaa[xxsi] * xxhh + xxbb[xxsi]) % {_hg(m61)})) AS BIGINT)"
+        f"))[1]))[1][1]"
+    )
+    band_key = _xxh64_sql(
+        f"array_to_string(list_transform("
+        f"sg[bi.band*{rows_per_band}+1 : bi.band*{rows_per_band}+{rows_per_band}],"
+        f" xxv -> CAST(xxv AS VARCHAR)), ',')"
+    )
+    band_rows = ", ".join(f"({i})" for i in range(n_bands))
+    return f"""
+        WITH sgn AS (
+          SELECT doc_id AS doc, {sig} AS sg FROM documents
+          WHERE len(list_distinct({shingles})) > 0
+        ), bands AS (
+          SELECT doc, bi.band AS band, {band_key} AS key
+          FROM sgn, (VALUES {band_rows}) AS bi(band)
+        ), cand AS (
+          SELECT DISTINCT x.doc AS id_a, y.doc AS id_b
+          FROM bands x JOIN bands y USING (band, key)
+          WHERE x.doc < y.doc
+        ), agree AS (
+          SELECT id_a, id_b,
+                 len(list_filter(generate_series(1, {n_hashes}),
+                                 xxi -> sa.sg[xxi] = sb.sg[xxi])) AS n_agree
+          FROM cand
+          JOIN sgn sa ON sa.doc = id_a
+          JOIN sgn sb ON sb.doc = id_b
+        )
+        SELECT id_a, id_b FROM agree WHERE n_agree * 5 >= {4 * n_hashes}
+    """
 
 
 def _lsh_bucket_list_sql(n_planes: int, n_tables: int, dim: int = 64) -> str:
@@ -906,6 +1192,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
         "lang_id_heuristic": _lang_id_oracle_sql(),
+        "minhash_lsh_dedup": _minhash_oracle_sql(),
+        "simhash_dedup": _simhash_oracle_sql(),
         "embedding_dedup_lsh": f"""
             WITH sig AS (
               SELECT vec_id, {_lsh_bucket_list_sql(4, 16)} AS bks

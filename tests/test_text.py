@@ -110,6 +110,34 @@ def test_lang_id_oracle_parity_adversarial():
     assert got == want
 
 
+def test_xxh64_sql_matches_spark(spark):
+    """The generated XXH64-in-SQL expression (oracle backbone for the
+    MinHash/SimHash replays) is bit-identical to Spark's xxhash64 across
+    every length class: empty, <4, <8, <32, stripe boundary (32/64),
+    stripe+tail, and long inputs."""
+    import duckdb
+
+    from __spark_entry__ import _xxh64_sql
+
+    strings = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "abcdefghi", "the quick brown fox", "x" * 31, "y" * 32, "z" * 33,
+        "w" * 63, "v" * 64, "u" * 65, "t" * 100,
+        "-123,456,789", "8442094316357006120,-55,1,0",
+    ]
+    want = [
+        r.h
+        for r in spark.createDataFrame([(s,) for s in strings], "s string")
+        .select(F.xxhash64("s").alias("h"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+    got = [r[0] for r in con.execute(f"SELECT {_xxh64_sql('s')} FROM t").fetchall()]
+    assert got == want
+
+
 def test_winnow_fingerprint_properties():
     a = winnow_fingerprint_py("the quick brown fox jumps over the lazy dog")
     b = winnow_fingerprint_py("the quick brown fox jumps over the lazy dog")
