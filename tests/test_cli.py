@@ -115,6 +115,34 @@ def test_cli_scale_knobs_identical_output(fixture_corpus_path):
     ), knobs.stderr[-500:]
 
 
+def test_cli_robots_table_gates_links(fixture_corpus_path, spark, tmp_path):
+    # --robots-table + --use-robots-txt through the CLI: the about page is
+    # disallowed, so it is silently skipped (never fetched, still marked
+    # seen) — visited/collected drop to 1 and stdout carries only the seed.
+    robots = tmp_path / "robots.parquet"
+    spark.createDataFrame(
+        [("localhost", "User-agent: *\nDisallow: /basic/about.html\n")],
+        "host string, robots_txt string",
+    ).write.parquet(str(robots))
+    p = run_cli(
+        [
+            "--corpus",
+            fixture_corpus_path,
+            "--robots-table",
+            str(robots),
+            "--use-robots-txt",
+            "http://localhost:8000/basic/index.html",
+        ]
+    )
+    assert p.returncode == 0
+    assert p.stderr.endswith(
+        "Statistics: visited 1, collected 1, errors 0, retries 0\n"
+    ), p.stderr[-500:]
+    assert [json.loads(l) for l in p.stdout.splitlines()] == [
+        "http://localhost:8000/basic/index.html"
+    ]
+
+
 def test_cli_side_file_golden(fixture_corpus_path, tmp_path):
     # tests/crawling.rs:25-41 — side program output contains THE RESULT
     side = tmp_path / "default.side.json"
