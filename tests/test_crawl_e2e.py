@@ -388,6 +388,34 @@ def test_resume_with_compaction(spark, tmp_path):
     )
 
 
+def test_resume_with_bloom(spark, tmp_path):
+    """Kill-and-resume with the bloom sidecar on: the bank is rebuilt from
+    the checkpointed seen set at resume, so the resumed run reproduces the
+    uninterrupted run exactly (never-drop invariant survives the restart)."""
+    from doonop_spark.sources.tables import SnapshotTableIO
+
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=16)
+    seeds = ["http://h0000.example/p0", "http://h0001.example/p0"]
+    kw = dict(
+        seeds=seeds, engines=4, bloom_partitions=4,
+        bloom_expected_per_partition=64, bloom_fold_every=2,
+    )
+    job = CrawlJob(**kw)
+
+    full = run_crawl(spark, job, corpus, io=SnapshotTableIO(str(tmp_path / "full")))
+    part_io = SnapshotTableIO(str(tmp_path / "part"))
+    run_crawl(spark, CrawlJob(**kw, max_iterations=2), corpus, io=part_io)
+    resumed = run_crawl(spark, job, corpus, io=part_io, resume=True)
+
+    assert sorted((r.url, r.data) for r in full.results.collect()) == sorted(
+        (r.url, r.data) for r in resumed.results.collect()
+    )
+    assert sorted(r.ukey for r in full.seen.collect()) == sorted(
+        r.ukey for r in resumed.seen.collect()
+    )
+    assert vars(full.stats) == vars(resumed.stats)
+
+
 def test_crawl_delay_budget_enforced_per_wave(spark):
     """north_star politeness: a host whose robots.txt sets Crawl-delay gets
     at most floor(wave_seconds/delay) dispatches per wave — observable in
