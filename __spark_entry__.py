@@ -245,6 +245,22 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate lines, top word-2-gram
+    coverage) as integer numerators/denominators — exact-oracled."""
+    from doonop_spark.functions.text import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    r = repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_lines"].alias("n_lines"),
+        r["n_distinct_lines"].alias("n_distinct_lines"),
+        r["n_2grams"].alias("n_2grams"),
+        r["top_2gram_n"].alias("top_2gram_n"),
+    )
+
+
 def q_lang_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import quality_score_expr
 
@@ -556,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "lang_quality_breakdown": q_lang_quality_breakdown,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -1047,6 +1064,27 @@ def oracle_sql() -> dict[str, str]:
                    {n_punct} AS n_punct, {n_digit} AS n_digit, {n_stop} AS n_stop,
                    {is_quality} AS is_quality
             FROM documents
+        """,
+        "repetition_stats": f"""
+            WITH r AS (
+              SELECT doc_id,
+                     list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                                l -> trim(l)), l -> l != '') AS lines,
+                     CASE WHEN {n_words} < 2 THEN []
+                          ELSE list_transform(generate_series(1, {n_words} - 1),
+                                              i -> {tokens}[i] || ' ' || {tokens}[i+1])
+                     END AS grams
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(list_distinct(lines)) AS n_distinct_lines,
+                   len(grams) AS n_2grams,
+                   CASE WHEN len(grams) = 0 THEN 0
+                        ELSE list_max(list_transform(list_distinct(grams),
+                             g -> len(list_filter(grams, x -> x = g))))
+                   END AS top_2gram_n
+            FROM r
         """,
         "lang_quality_breakdown": f"""
             SELECT lang, {is_quality} AS is_quality, count(*) AS n,

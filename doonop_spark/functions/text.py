@@ -25,6 +25,7 @@ __all__ = [
     "word_shingles_expr",
     "quality_features",
     "quality_score_expr",
+    "repetition_stats",
     "lang_id_udf",
     "winnow_fingerprint_udf",
     "content_hash_expr",
@@ -97,6 +98,48 @@ def quality_features(text: Column) -> dict[str, Column]:
         "n_alpha": n_alpha,
         "n_digit": n_digit,
         "n_stop": F.when(F.trim(text) == "", F.lit(0)).otherwise(n_stop),
+    }
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), all JVM
+    expressions returning INTEGER numerators/denominators — fractions are
+    left to the caller so a SQL oracle reproduces the values bit-for-bit:
+
+    - ``n_lines`` / ``n_distinct_lines``: duplicate-line repetition
+      (lines = '\\n' splits with surrounding whitespace trimmed; blank
+      lines dropped);
+    - ``n_2grams`` / ``top_2gram_n``: fraction of the text covered by the
+      most frequent word 2-gram (whitespace words, case-sensitive).
+
+    The per-row top-2-gram count is O(distinct × total) inside one row —
+    no shuffle, whole-stage-codegen, and bounded by document length; the
+    scale cost is identical to any other per-row projection."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    words = F.split(F.trim(text), _WS)
+    n_words = token_count_expr(text)
+    grams = F.when(n_words < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        )
+    )
+    top = F.when(F.size(grams) == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            )
+        )
+    )
+    return {
+        "n_lines": F.size(lines),
+        "n_distinct_lines": F.size(F.array_distinct(lines)),
+        "n_2grams": F.size(grams),
+        "top_2gram_n": top,
     }
 
 

@@ -63,6 +63,33 @@ def test_quality_score(spark):
     assert got == [e for _, e in rows]
 
 
+def test_repetition_stats(spark):
+    from doonop_spark.functions.text import repetition_stats
+
+    rows = [
+        # (text, n_lines, n_distinct_lines, n_2grams, top_2gram_n)
+        ("a b a b a", 1, 1, 4, 2),   # "a b" x2, "b a" x2
+        ("x\nx\n\ny", 3, 2, 2, 1),   # dup line, blank dropped; words x x y
+        ("one two three", 1, 1, 2, 1),
+        ("", 0, 0, 0, 0),
+        ("   ", 0, 0, 0, 0),
+        ("solo", 1, 1, 0, 0),
+        ("r r r r", 1, 1, 3, 3),     # "r r" x3
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in rows], "t string")
+    r = repetition_stats(F.col("t"))
+    got = [
+        (x.a, x.b, x.c, x.d)
+        for x in df.select(
+            r["n_lines"].alias("a"),
+            r["n_distinct_lines"].alias("b"),
+            r["n_2grams"].alias("c"),
+            r["top_2gram_n"].alias("d"),
+        ).collect()
+    ]
+    assert got == [tuple(e[1:]) for e in rows]
+
+
 def test_lang_id():
     assert lang_id_py("the cat sat on the mat and it was good") == "en"
     assert lang_id_py("der Hund und die Katze ist nicht da") == "de"
