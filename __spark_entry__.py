@@ -261,6 +261,18 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup groups (boilerplate detection). The synthetic
+    documents are single distinct lines, so the driver runs with
+    min_occurrences=1 — identical plan (explode → xxhash64 → hash agg),
+    non-trivial result; the >=2 dedup semantics are pinned on crafted
+    duplicates in tests/test_textdedup.py."""
+    from doonop_spark.operators.textdedup import line_dedup_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    return line_dedup_groups(docs, "doc_id", "text", min_occurrences=1)
+
+
 def q_lang_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import quality_score_expr
 
@@ -569,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "crawl_bfs": q_crawl_bfs,
         "dedup_exact": q_dedup_exact,
+        "line_dedup": q_line_dedup,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
@@ -1064,6 +1077,18 @@ def oracle_sql() -> dict[str, str]:
                    {n_punct} AS n_punct, {n_digit} AS n_digit, {n_stop} AS n_stop,
                    {is_quality} AS is_quality
             FROM documents
+        """,
+        "line_dedup": f"""
+            WITH l AS (
+              SELECT doc_id AS doc,
+                     trim(unnest(regexp_split_to_array(text, '\\n'))) AS line
+              FROM documents
+            )
+            SELECT {_xxh64_sql("line")} AS line_hash,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc) AS n_docs
+            FROM l WHERE line != ''
+            GROUP BY 1 HAVING count(*) >= 1
         """,
         "repetition_stats": f"""
             WITH r AS (

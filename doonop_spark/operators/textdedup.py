@@ -59,6 +59,36 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def line_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, min_occurrences: int = 2
+) -> DataFrame:
+    """Line-level exact dedup (RefinedWeb/CCNet-style boilerplate
+    detection): explode trimmed non-empty lines, key by ``xxhash64(line)``
+    and aggregate occurrence/document counts per distinct line. Returns
+    ``(line_hash, n_occurrences, n_docs)`` for lines appearing at least
+    ``min_occurrences`` times. One hash-agg shuffle whose rows carry only
+    ``(hash, id)`` — line text never shuffles, so the plan is the same at
+    100 TB with map-side partial aggregation for the hot boilerplate
+    lines."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), r"\n")).alias("line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .filter(F.col("line") != "")
+    )
+    return (
+        lines.select(F.xxhash64(F.col("line")).alias("line_hash"), "doc")
+        .groupBy("line_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
 ) -> DataFrame:

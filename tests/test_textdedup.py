@@ -40,6 +40,34 @@ def test_dedup_exact(spark, docs):
     assert len(out) == 5  # 6 docs, one pair merged
 
 
+def test_line_dedup_groups(spark):
+    from doonop_spark.operators.textdedup import line_dedup_groups
+
+    rows = [
+        (0, "shared header\nunique zero\nshared footer"),
+        (1, "shared header\nunique one\n\n  shared footer  "),  # trim+blank
+        (2, "shared header\nshared header\nsolo line"),  # within-doc dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.line_hash: (r.n_occurrences, r.n_docs)
+        for r in line_dedup_groups(df, "doc_id", "text").collect()
+    }
+    # two boilerplate groups survive min_occurrences=2
+    assert sorted(out.values()) == [(2, 2), (4, 3)]
+    # header: 4 occurrences over 3 docs; footer: 2 over 2
+    hashes = {
+        r["line"]: r["h"]
+        for r in spark.createDataFrame(
+            [("shared header",), ("shared footer",)], "line string"
+        )
+        .select("line", F.xxhash64("line").alias("h"))
+        .collect()
+    }
+    assert out[hashes["shared header"]] == (4, 3)
+    assert out[hashes["shared footer"]] == (2, 2)
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {
         (r.id_a, r.id_b)
