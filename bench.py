@@ -266,6 +266,8 @@ def main() -> None:
         "ann_topk_lsh",
         "embedding_dedup_lsh",
         "quality_score",
+        "repetition_stats",
+        "line_dedup",
         "token_count",
         "winnow_fingerprint",
         "lifo_schedule",

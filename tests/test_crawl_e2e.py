@@ -447,6 +447,30 @@ def test_crawl_delay_budget_enforced_per_wave(spark):
     assert len(hot) >= 6  # the throttled host needed many more waves
 
 
+def test_politeness_impl_pandas_crawl_identical(spark):
+    """north_star: budgets 'enforced as grouped priority queues via
+    applyInPandas' — the pandas scheduler produces the same crawl as the
+    default window implementation under a binding Crawl-delay budget."""
+    from doonop_spark.sources.corpus import synthetic_robots
+
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=20, hot_share=0.5)
+    robots = synthetic_robots(spark, n_hosts=2, crawl_delay={0: 10.0})
+    kw = dict(
+        seeds=["http://h0000.example/p0", "http://h0001.example/p0"],
+        engines=None,
+        per_host_budget=1000,
+        use_robots=True,
+        wave_seconds=30.0,
+    )
+    w = run_crawl(spark, CrawlJob(**kw, politeness_impl="window"), corpus, robots=robots)
+    p = run_crawl(spark, CrawlJob(**kw, politeness_impl="pandas"), corpus, robots=robots)
+    assert sorted((r.url, r.data) for r in w.results.collect()) == sorted(
+        (r.url, r.data) for r in p.results.collect()
+    )
+    assert vars(w.stats) == vars(p.stats)
+    assert w.iterations == p.iterations
+
+
 def test_metrics_lineage(spark):
     corpus = synthetic_corpus(spark, n_hosts=2, n_pages=20)
     res = run_crawl(
