@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from doonop_spark.functions.text import word_shingles_expr
+from doonop_spark.functions.text import content_hash_expr, word_shingles_expr
 
 __all__ = [
     "dedup_exact",
@@ -53,7 +53,7 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``(keeper_id, n_dups)`` per distinct text — pure hash aggregate, one
     shuffle, map-side combine free from Catalyst."""
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"), F.col(text_col))
+        df.groupBy(content_hash_expr(F.col(text_col)).alias("text_hash"), F.col(text_col))
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
         .select("keeper_id", "n_dups")
     )
@@ -79,7 +79,7 @@ def line_dedup_groups(
         .filter(F.col("line") != "")
     )
     return (
-        lines.select(F.xxhash64(F.col("line")).alias("line_hash"), "doc")
+        lines.select(content_hash_expr(F.col("line")).alias("line_hash"), "doc")
         .groupBy("line_hash")
         .agg(
             F.count("*").alias("n_occurrences"),
