@@ -77,6 +77,30 @@ def test_exact_dedup_has_partial_aggregation(spark):
     assert "Exchange" in plan
 
 
+def test_line_dedup_partial_agg_and_narrow_shuffle(spark):
+    """line_dedup must map-side combine (partial+final HashAggregate) and
+    its exchange must carry only (line_hash, doc) — the line text itself
+    never shuffles."""
+    import __spark_entry__ as e
+
+    df = e.queries()["line_dedup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+    exchange = plan[plan.index("Exchange"):].splitlines()[0]
+    assert "line" not in exchange or "line_hash" in exchange
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """repetition_stats is a pure per-row projection: no exchange in the
+    plan, no Python (the fold is a JVM higher-order aggregate)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["repetition_stats"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_anti_join_on_hash_key(spark):
     """The seen anti-join shuffles on url_hash (+ ukey confirm) — a
     LeftAnti hash join, never a nested-loop."""
