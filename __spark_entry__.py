@@ -273,6 +273,15 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_groups(docs, "doc_id", "text", min_occurrences=1)
 
 
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term + document frequency per whitespace token
+    (tokenizer-training / IDF workload) — two-stage hash aggregation."""
+    from doonop_spark.operators.vocab import token_vocab
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_vocab(docs, "doc_id", "text")
+
+
 def q_lang_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import quality_score_expr
 
@@ -582,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": q_crawl_bfs,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
+        "token_vocab": q_token_vocab,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
@@ -1089,6 +1099,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc) AS n_docs
             FROM l WHERE line != ''
             GROUP BY 1 HAVING count(*) >= 1
+        """,
+        "token_vocab": """
+            WITH t AS (
+              SELECT doc_id AS doc,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) != ''
+            )
+            SELECT token,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc) AS n_docs
+            FROM t GROUP BY token
         """,
         "repetition_stats": f"""
             WITH r AS (

@@ -101,6 +101,17 @@ def test_repetition_stats_is_shuffle_free(spark):
     assert "EvalPython" not in plan
 
 
+def test_token_vocab_two_stage_aggregation(spark):
+    """token_vocab must aggregate in two keyed stages — (token, doc) then
+    token — each with map-side partial aggregation, so hot tokens spread
+    across partitions in the first exchange."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["token_vocab"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final x two stages
+    assert plan.count("Exchange") >= 2
+
+
 def test_anti_join_on_hash_key(spark):
     """The seen anti-join shuffles on url_hash (+ ukey confirm) — a
     LeftAnti hash join, never a nested-loop."""

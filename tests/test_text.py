@@ -90,6 +90,25 @@ def test_repetition_stats(spark):
     assert got == [tuple(e[1:]) for e in rows]
 
 
+def test_token_vocab(spark):
+    from doonop_spark.operators.vocab import token_vocab
+
+    rows = [
+        (0, "the cat and the dog"),
+        (1, "the dog"),
+        (2, "   "),   # blank: contributes no tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: (r.n_occurrences, r.n_docs) for r in token_vocab(df, "doc_id", "text").collect()}
+    assert out == {
+        "the": (3, 2),
+        "cat": (1, 1),
+        "and": (1, 1),
+        "dog": (2, 2),
+    }
+    assert {r.token for r in token_vocab(df, "doc_id", "text", min_occurrences=2).collect()} == {"the", "dog"}
+
+
 def test_lang_id():
     assert lang_id_py("the cat sat on the mat and it was good") == "en"
     assert lang_id_py("der Hund und die Katze ist nicht da") == "de"
