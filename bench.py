@@ -268,6 +268,7 @@ def main() -> None:
         "quality_score",
         "repetition_stats",
         "line_dedup",
+        "token_vocab",
         "token_count",
         "winnow_fingerprint",
         "lifo_schedule",
