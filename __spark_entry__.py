@@ -282,6 +282,31 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_vocab(docs, "doc_id", "text")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing end-to-end: deterministic synthetic PII (an email and
+    an IPv4 derived from doc_id) is appended to each document, counted,
+    and scrubbed; the scrubbed text is value-checked via its xxhash64.
+    Patterns are restricted to the Java/RE2-identical regex subset."""
+    from doonop_spark.functions.text import pii_counts, scrub_pii_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    c = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        c["email"].alias("n_emails"),
+        c["ipv4"].alias("n_ips"),
+        F.xxhash64(scrub_pii_expr(aug)).alias("scrub_hash"),
+        F.length(scrub_pii_expr(aug)).alias("scrub_len"),
+    )
+
+
 def q_lang_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import quality_score_expr
 
@@ -592,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
         "token_vocab": q_token_vocab,
+        "pii_scrub": q_pii_scrub,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
@@ -926,6 +952,34 @@ def _lsh_bucket_list_sql(n_planes: int, n_tables: int, dim: int = 64) -> str:
     return "[" + ", ".join(buckets) + "]"
 
 
+def _pii_scrub_oracle_sql() -> str:
+    """DuckDB replay of ``q_pii_scrub``: same augmented text, same
+    Java/RE2-common patterns (RE2 'g' flag for replace-all), scrubbed
+    value checked via the XXH64-in-SQL replay."""
+    from doonop_spark.functions.text import PII_PATTERNS
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    )
+    scrub = aug
+    for pat, token in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    n_email = f"len(regexp_extract_all({aug}, '{PII_PATTERNS['email'][0]}'))"
+    n_ip = f"len(regexp_extract_all({aug}, '{PII_PATTERNS['ipv4'][0]}'))"
+    return f"""
+        WITH s AS (
+          SELECT doc_id, {n_email} AS n_emails, {n_ip} AS n_ips,
+                 {scrub} AS scrubbed
+          FROM documents
+        )
+        SELECT doc_id, n_emails, n_ips,
+               {_xxh64_sql("scrubbed")} AS scrub_hash,
+               length(scrubbed) AS scrub_len
+        FROM s
+    """
+
+
 def _lang_id_oracle_sql() -> str:
     """DuckDB replay of ``lang_id_py``: whitespace-split lowercase words,
     count stopword-marker hits per language, argmax with first-language-
@@ -1100,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l WHERE line != ''
             GROUP BY 1 HAVING count(*) >= 1
         """,
+        "pii_scrub": _pii_scrub_oracle_sql(),
         "token_vocab": """
             WITH t AS (
               SELECT doc_id AS doc,

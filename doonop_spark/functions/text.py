@@ -26,6 +26,9 @@ __all__ = [
     "quality_features",
     "quality_score_expr",
     "repetition_stats",
+    "PII_PATTERNS",
+    "pii_counts",
+    "scrub_pii_expr",
     "lang_id_udf",
     "winnow_fingerprint_udf",
     "content_hash_expr",
@@ -151,6 +154,33 @@ def repetition_stats(text: Column) -> dict[str, Column]:
         "n_2grams": F.size(grams),
         "top_2gram_n": top,
     }
+
+
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) interpret identically — character classes, +/{m,}, \d, \b; no
+# lookaround — so scrubbing is exactly oracle-checkable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match count per PII class (JVM ``regexp_count``)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii_expr(text: Column) -> Column:
+    """Replace every PII match with its class token — chained JVM
+    ``regexp_replace``, applied in ``PII_PATTERNS`` order (emails first so
+    their host parts are never half-eaten by the IP pattern)."""
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 def quality_score_expr(text: Column) -> Column:

@@ -109,6 +109,30 @@ def test_token_vocab(spark):
     assert {r.token for r in token_vocab(df, "doc_id", "text", min_occurrences=2).collect()} == {"the", "dog"}
 
 
+def test_pii_scrub(spark):
+    from doonop_spark.functions.text import pii_counts, scrub_pii_expr
+
+    rows = [
+        ("mail a.b+c@x-y.co.uk now", 1, 0, "mail <EMAIL> now"),
+        ("from 192.168.0.1 and 10.0.0.255", 0, 2, "from <IP> and <IP>"),
+        ("both u@h.io at 1.2.3.4", 1, 1, "both <EMAIL> at <IP>"),
+        ("plain text, no pii", 0, 0, "plain text, no pii"),
+        ("not an ip 1.2.3.4.5 still matches prefix", 0, 1,
+         "not an ip <IP>.5 still matches prefix"),
+        ("", 0, 0, ""),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in rows], "t string")
+    c = pii_counts(F.col("t"))
+    got = [
+        (r.e, r.i, r.s)
+        for r in df.select(
+            c["email"].alias("e"), c["ipv4"].alias("i"),
+            scrub_pii_expr(F.col("t")).alias("s"),
+        ).collect()
+    ]
+    assert got == [(e, i, s) for _, e, i, s in rows]
+
+
 def test_lang_id():
     assert lang_id_py("the cat sat on the mat and it was good") == "en"
     assert lang_id_py("der Hund und die Katze ist nicht da") == "de"
