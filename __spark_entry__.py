@@ -521,6 +521,43 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti_join_seen(cand, seen, probe).select("doc_id")
 
 
+def q_bloom_dedup_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 with the bloom sidecar probed via the 10^10 path: candidates
+    cogroup with the bank rows on pid (operators/bloom.py
+    bloom_flag_copartitioned) — the bank never touches the driver. Same
+    never-drop contract, same oracle as the broadcast mode."""
+    from doonop_spark.operators.bloom import bloom_flag_copartitioned, build_bloom
+    from doonop_spark.operators.dedup import SEEN_COLS
+
+    docs = _read(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id"), key.alias("ukey"), F.xxhash64(key).alias("url_hash")
+    )
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        key.alias("ukey"), F.xxhash64(key).alias("url_hash")
+    )
+    bloom = build_bloom(seen, n_partitions=8, expected_per_partition=1024)
+    flagged = bloom_flag_copartitioned(cand, bloom, n_partitions=8)
+    maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
+    fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    checked = maybe.join(seen.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti")
+    return fresh.unionByName(checked).select("doc_id")
+
+
+def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB dedup deliverable as ONE pipeline: MinHash+banded-LSH
+    near-dup pairs → connected components (min-label propagation) → drop
+    every non-keeper. Returns the surviving doc ids. Oracle composes the
+    XXH64-replay minhash pair SQL with a recursive-CTE transitive closure:
+    keep doc_id iff min id reachable through pair edges is itself."""
+    from doonop_spark.operators.textdedup import dedup_keep, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    return dedup_keep(docs, pairs, "doc_id").select("doc_id")
+
+
 def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 SURT mode: aggressive seen-key (host reversed, www stripped,
     fragment dropped, query sorted) — the oracle is the closed form for
@@ -637,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sampling": q_frame_sampling,
         "multimodal_decode": q_multimodal_decode,
         "bloom_dedup": q_bloom_dedup,
+        "bloom_dedup_copart": q_bloom_dedup_copart,
+        "minhash_dedup_keep": q_minhash_dedup_keep,
         "surt_key": q_surt_key,
         "shingles": q_shingles,
         "pricing_summary": q_pricing_summary,
@@ -1335,6 +1374,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_heuristic": _lang_id_oracle_sql(),
         "minhash_lsh_dedup": _minhash_oracle_sql(),
+        # bloom is a pre-filter, not a semantics change: both probe modes
+        # must return exactly the exact-anti-join answer
+        "bloom_dedup_copart": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        """,
+        # the composed deliverable: minhash pair SQL (XXH64 replay) feeds a
+        # recursive-CTE transitive closure; keep doc_id iff the min id
+        # reachable through pair edges is itself (singletons keep trivially)
+        "minhash_dedup_keep": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT * FROM ({_minhash_oracle_sql()})
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ), r AS (
+              SELECT doc_id AS v, doc_id AS u FROM documents
+              UNION
+              SELECT r.v, e.b FROM r JOIN edges e ON r.u = e.a
+            )
+            SELECT v AS doc_id FROM r
+            GROUP BY v HAVING min(u) = v
+        """,
         "simhash_dedup": _simhash_oracle_sql(),
         "embedding_dedup_lsh": f"""
             WITH sig AS (

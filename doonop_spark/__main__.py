@@ -42,20 +42,32 @@ from doonop_spark.plans.loop import run_crawl
 from doonop_spark.sources.tables import open_table_io
 
 
-def _session() -> SparkSession:
+def _master_configured() -> bool:
+    """True iff a master is already configured (spark-submit --master sets
+    the "spark.master" system property on the JVM side; builder.master()
+    would silently override it)."""
+    from pyspark import SparkConf
+    from pyspark.core.context import SparkContext
+
+    SparkContext._ensure_initialized()  # connect/launch the py4j gateway
+    return SparkConf().contains("spark.master")
+
+
+def _builder(master_configured: bool):
     b = SparkSession.builder.appName("doonop-spark")
-    if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ.get(
-        "SPARK_SUBMIT_OPTS", ""
-    ):
+    # spark-submit passes --master as the "spark.master" SparkConf system
+    # property (NOT an env var), and builder.master() would override it —
+    # so only fill in a local default when no master is configured anywhere.
+    if not master_configured and not os.environ.get("SPARK_MASTER"):
         b = b.master(os.environ.get("DOONOP_MASTER", "local[*]"))
-    return (
-        b.config(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("DOONOP_SHUFFLE_PARTITIONS", "32"),
-        )
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
+    return b.config(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("DOONOP_SHUFFLE_PARTITIONS", "32"),
+    ).config("spark.ui.showConsoleProgress", "false")
+
+
+def _session() -> SparkSession:
+    return _builder(_master_configured()).getOrCreate()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -67,12 +79,16 @@ def main(argv: list[str] | None = None) -> int:
     ext.add_argument("--table-root", help="durable checkpoint dir (resumable)")
     ext.add_argument("--resume", action="store_true")
     ext.add_argument("--bloom-partitions", type=int, default=0)
+    ext.add_argument(
+        "--bloom-probe-mode", choices=["broadcast", "copartition"], default="broadcast"
+    )
     ext.add_argument("--seen-compact-every", type=int, default=8)
     ours, rest = ext.parse_known_args(argv)
 
     job = job_from_argv(rest)
     job.corpus_buckets = ours.corpus_buckets
     job.bloom_partitions = ours.bloom_partitions
+    job.bloom_probe_mode = ours.bloom_probe_mode
     job.seen_compact_every = ours.seen_compact_every
 
     spark = _session()

@@ -4,14 +4,23 @@ bloom/cuckoo URL-seen filter").
 At 10^10 seen URLs the exact anti-join is correct but every wave shuffles
 the candidate links against the full seen table. The sidecar is a bank of
 ``n_partitions`` bloom filters, partition ``p = url_hash mod P`` covering
-the seen keys whose hash lands in ``p``. Probing is driver-free and
-shuffle-free: the bit bank broadcasts to executors (sized at ~1.2 bytes/
-key for 1% FP it is ~12 GB at 10^10 — per-partition banks can instead be
-co-partitioned with the links and merged incrementally; this sandbox build
-broadcasts) and a vectorized numpy UDF marks each candidate "maybe seen".
-Rows marked maybe-seen continue to the exact anti-join; rows marked
-definitely-new skip it entirely. A false positive costs one extra exact
-probe — never a dropped URL; correctness stays with the anti-join.
+the seen keys whose hash lands in ``p``. Rows marked maybe-seen continue
+to the exact anti-join; rows marked definitely-new skip it entirely. A
+false positive costs one extra exact probe — never a dropped URL;
+correctness stays with the anti-join.
+
+Two probe paths:
+
+- :func:`bloom_probe` — the bit bank collects to the driver and broadcasts
+  (vectorized numpy UDF per Arrow batch). Zero shuffle, but at ~1.2 bytes/
+  key for 1% FP the bank is ~12 GB at 10^10 keys: driver RAM + broadcast
+  cost make this the small/medium-scale path.
+- :func:`bloom_flag_copartitioned` — the 10^10 path: candidate links
+  cogroup with the bank rows on ``pid = pmod(url_hash, P)`` inside ONE
+  ``applyInPandas``, so each task holds exactly its partition's bitset
+  (bank/P bytes) and the driver never materializes the bank at all. Costs
+  one links shuffle per wave (which the exact anti-join pays anyway) plus
+  a bank-side exchange of P rows; both scale per-partition, not per-bank.
 
 Hashing: the k bloom probe positions derive from the already-computed
 ``xxhash64(url)`` via the Kirsch-Mitzenmacher double-hashing trick
@@ -31,7 +40,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_bloom", "merge_bloom", "BloomBank", "bloom_probe"]
+__all__ = [
+    "build_bloom",
+    "merge_bloom",
+    "BloomBank",
+    "bloom_probe",
+    "bloom_flag_copartitioned",
+]
 
 # ``p`` (the bank's partition count) is carried EXPLICITLY in every row:
 # empty hash partitions emit no row from the groupBy build, so inferring
@@ -156,6 +171,63 @@ class BloomBank:
             hit = (bank[byte_idx[sel]] & bit_mask[sel]) != 0
             out[sel] = hit.all(axis=1)
         return out
+
+
+def bloom_flag_copartitioned(
+    links: DataFrame,
+    bloom_df: DataFrame,
+    n_partitions: int,
+    hash_col: str = "url_hash",
+    flag_col: str = "__maybe",
+) -> DataFrame:
+    """Append ``flag_col`` (True = maybe seen, False = definitely new) to
+    ``links`` WITHOUT driver-collecting the bank: links and bank rows
+    cogroup on ``pid = pmod(url_hash, P)``; each task probes its group's
+    hashes against its partition's bitset (present at most once per group).
+
+    ``n_partitions`` must equal the P the bank was built with — it is
+    asserted against the rows' embedded ``p`` so a mismatch fails loudly
+    instead of probing with the wrong modulus (which would yield false
+    negatives = dropped-duplicate admissions). A pid with no bank row has
+    no seen keys: every candidate there is definitely new.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(links.schema) + [T.StructField(flag_col, T.BooleanType())]
+    )
+    link_cols = list(links.columns)
+
+    def probe(key, lpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf[link_cols]
+        if len(lpdf) == 0:
+            return lpdf.assign(**{flag_col: pd.Series([], dtype=bool)})
+        if len(bpdf) == 0:
+            maybe = np.zeros(len(lpdf), dtype=bool)
+        else:
+            p = int(bpdf["p"].iloc[0])
+            if p != n_partitions:
+                raise ValueError(
+                    f"bloom bank built with p={p}, probed with {n_partitions}"
+                )
+            m = int(bpdf["m"].iloc[0])
+            k = int(bpdf["k"].iloc[0])
+            bits = np.frombuffer(bpdf["bits"].iloc[0], dtype=np.uint8)
+            for raw in bpdf["bits"].iloc[1:]:  # unfolded delta rows OR in
+                bits = bits | np.frombuffer(raw, dtype=np.uint8)
+            hashes = lpdf[hash_col].to_numpy(dtype=np.int64)
+            _, pos = _positions(hashes, m, k)
+            byte_idx = (pos // 8).astype(np.int64)
+            bit_mask = (1 << (pos % 8)).astype(np.uint8)
+            maybe = ((bits[byte_idx] & bit_mask) != 0).all(axis=1)
+        return lpdf.assign(**{flag_col: maybe})
+
+    pid = F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int")
+    return (
+        links.groupBy(pid.alias("__pid"))
+        .cogroup(bloom_df.groupBy("pid"))
+        .applyInPandas(probe, schema=out_schema)
+    )
 
 
 def bloom_probe(spark, bloom_df: DataFrame):

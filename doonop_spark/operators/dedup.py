@@ -56,8 +56,17 @@ def anti_join_seen(
     unioned back in (see operators/bloom.py).
     """
     if bloom_probe is not None:
-        maybe = links.filter(bloom_probe(F.col("url_hash")))
-        fresh = links.filter(~bloom_probe(F.col("url_hash")))
+        # Flag ONCE over a materialized frame, then split on the flag
+        # column. Filtering an unmaterialized ``links`` pipeline on
+        # probe/~probe would re-run its whole upstream plan (and the probe
+        # UDF) twice — measured at 4.4× wave cost in the crawl loop, which
+        # uses the same pattern via its durable materializer
+        # (plans/loop.py, "links_flagged").
+        flagged = links.withColumn(
+            "__maybe", bloom_probe(F.col("url_hash"))
+        ).localCheckpoint(eager=True)
+        maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
+        fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
         checked = maybe.join(seen.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti")
         return fresh.unionByName(checked)
     return links.join(seen.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti")

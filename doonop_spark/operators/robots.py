@@ -14,8 +14,10 @@ Reference semantics reproduced exactly:
   swallows Err). Table shape: a host absent from the robots table models
   the fetch error ⇒ its URLs are dropped silently. Hosts whose robots.txt
   is empty/permissive admit everything.
-- matching is Google-REP style (the reference's ``cylon`` crate): rules of
-  the most specific matching user-agent group; per-path longest-match
+- UA-group matching is RFC 9309 / Google-REP (the reference's ``cylon``
+  crate): exact case-insensitive product-token equality, never substring
+  ("Doonop" matches neither group "doonopbot" nor "doo"); ``*`` is the
+  fallback; all groups at the winning level merge. Per-path longest-match
   wins; tie ⇒ Allow; no rule ⇒ allowed. ``*`` and ``$`` wildcards.
 
 ``Crawl-delay`` is parsed as well — not used by the reference, but it
@@ -99,6 +101,17 @@ def _parse_groups(robots_txt: str) -> list[tuple[list[str], list[tuple[bool, str
     return groups
 
 
+_TOKEN_RE = re.compile(r"[a-zA-Z_-]+")
+
+
+def _product_token(name: str) -> str:
+    """Leading product token of a crawler/UA-line name, lowercased —
+    Google-REP ExtractUserAgent semantics ("FooBot/2.1 (+http://…)" ⇒
+    "foobot"). Empty string when the name starts with a non-token char."""
+    m = _TOKEN_RE.match(name.strip())
+    return m.group(0).lower() if m else ""
+
+
 class RobotsRules:
     """Compiled per-(robots_txt, robot) verifier — the reference's
     ``RobotsVerifier`` analog (src/robots.rs:60-81)."""
@@ -106,25 +119,30 @@ class RobotsRules:
     __slots__ = ("rules", "crawl_delay")
 
     def __init__(self, robots_txt: str, robot: str):
-        robot_l = robot.lower()
-        best: tuple[int, list, float | None] | None = None
+        # UA-group matching is RFC 9309 §2.2.1 / cylon 0.2: EXACT
+        # case-insensitive product-token equality ("Doonop" does NOT match
+        # group "doonopbot" and vice versa — substring matching is too
+        # loose), '*' the fallback, and rules of ALL groups at the winning
+        # level merged. The product token is the leading [a-zA-Z_-] run
+        # (Google's ExtractUserAgent: "DoonopRobot/1.0" ⇒ "doonoprobot").
+        robot_tok = _product_token(robot)
+        exact: list[tuple[list, float | None]] = []
+        star: list[tuple[list, float | None]] = []
         for agents, rules, delay in _parse_groups(robots_txt):
-            for a in agents:
-                # most specific UA token wins; '*' has specificity 0
-                if a == "*":
-                    spec = 0
-                elif a in robot_l or robot_l in a:
-                    spec = len(a)
-                else:
-                    continue
-                if best is None or spec > best[0]:
-                    best = (spec, rules, delay)
-        if best is None:
-            self.rules: list[tuple[bool, int, re.Pattern]] = []
-            self.crawl_delay: float | None = None
-        else:
-            self.rules = [(allow, len(p), _rule_regex(p)) for allow, p in best[1]]
-            self.crawl_delay = best[2]
+            toks = {_product_token(a) for a in agents}
+            if robot_tok and robot_tok in toks:
+                exact.append((rules, delay))
+            elif "*" in agents:
+                star.append((rules, delay))
+        chosen = exact or star
+        self.rules: list[tuple[bool, int, re.Pattern]] = [
+            (allow, len(p), _rule_regex(p))
+            for rules, _ in chosen
+            for allow, p in rules
+        ]
+        self.crawl_delay: float | None = next(
+            (d for _, d in chosen if d is not None), None
+        )
 
     def is_allowed(self, path: str) -> bool:
         if not path:

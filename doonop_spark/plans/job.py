@@ -142,7 +142,9 @@ class CrawlJob:
     filters: list[Filter] = field(default_factory=list)
     limit: int | None = None  # O5: stop enqueueing once N results collected
     engines: int | None = 1  # reference default: 1 (src/cfg.rs:23,249)
-    retry_policy: RetryPolicy = RetryPolicy.NO
+    # reference default: RetryFirst (src/cfg.rs:73); without fault
+    # injection FIRST and NO are behaviorally identical (nothing to retry)
+    retry_policy: RetryPolicy = RetryPolicy.FIRST
     retry_count: int = 3  # budget: count >= retry_count ⇒ give up
     retry_threshold: float = 0.0  # logical waves until a retry ripens
     use_robots: bool = False
@@ -174,6 +176,11 @@ class CrawlJob:
     bloom_partitions: int = 0
     bloom_expected_per_partition: int = 1_000_000
     bloom_fp_rate: float = 0.01
+    # 'broadcast': bank collects to the driver and broadcasts (fast at
+    # sandbox scale; ~12 GB driver-resident at 10^10 keys). 'copartition':
+    # links cogroup with bank rows on pid — the 10^10 path, no driver
+    # materialization of the bank ever (operators/bloom.py).
+    bloom_probe_mode: str = "broadcast"
     # fold accumulated seen deltas into the bloom bank every K waves; in
     # between, bloom-cleared rows are exact-checked against the ≤K-frame
     # uncovered tail (correct AND amortizes the bank update)
@@ -205,25 +212,44 @@ class CrawlJob:
 def job_from_argv(argv: list[str]) -> CrawlJob:
     """C1 — the reference's 16-option CLI schema (src/cfg.rs:25-98) mapped
     onto the spark-submit entry."""
+    # Option spellings mirror the reference's clap schema exactly
+    # (src/cfg.rs:25-98): kebab-case longs except the three it spells with
+    # underscores (--retry_threshold, --use_robots_txt, --robot), plus its
+    # short options, so reference command lines run unmodified. Kebab-case
+    # variants of the underscore flags are kept as aliases.
     p = argparse.ArgumentParser(prog="doonop-spark")
     p.add_argument("urls", nargs="*")
-    p.add_argument("--seed-file")
+    p.add_argument("-s", "--seed-file")
     p.add_argument("-j", "--count-searchers", type=int, default=1)
-    p.add_argument("--limit", type=int)
+    p.add_argument("-l", "--limit", type=int)
     p.add_argument("-i", "--ignore", action="append", default=[])
     p.add_argument("-f", "--filter", action="append", default=[])
-    p.add_argument("--retry-policy", default="no")
+    # reference default: RetryFirst (src/cfg.rs:73)
+    p.add_argument("--retry-policy", default="first")
     p.add_argument("--retry-count", type=int, default=3)
-    # reference default: 10000 ms (src/cfg.rs:59-61); converted below into
-    # the loop's logical-wave unit via wave_seconds
-    p.add_argument("--retry-threshold-milis", type=float, default=10_000.0)
-    p.add_argument("--use-robots-txt", action="store_true")
-    p.add_argument("--robot-name", default=DEFAULT_ROBOT)
-    p.add_argument("--browser", default="firefox")
+    # reference spelling --retry_threshold, default 10000 ms
+    # (src/cfg.rs:76-77); converted below into the loop's logical-wave unit
+    p.add_argument(
+        "--retry_threshold",
+        "--retry-threshold-milis",
+        dest="retry_threshold_milis",
+        type=float,
+        default=10_000.0,
+    )
+    p.add_argument(
+        "--use_robots_txt",
+        "--use-robots-txt",
+        dest="use_robots_txt",
+        action="store_true",
+    )
+    p.add_argument("--robot", "--robot-name", dest="robot_name", default=DEFAULT_ROBOT)
+    p.add_argument("-b", "--browser", default="firefox")
     p.add_argument("--proxy")
-    p.add_argument("--page-load-timeout", type=int, default=10_000)
+    p.add_argument("-p", "--page-load-timeout", type=int, default=10_000)
+    # accepted for command-line fidelity; a corpus-join fetch has no driver
+    p.add_argument("-w", "--webdriver-url", default="http://localhost:4444")
     p.add_argument("--url-key", default="parity", choices=["parity", "surt"])
-    p.add_argument("--check-file")
+    p.add_argument("-c", "--check-file")
     p.add_argument("--check-file-format")
     a = p.parse_args(argv)
 

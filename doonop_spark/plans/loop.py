@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doonop_spark.functions.canonical import (
@@ -49,7 +49,12 @@ from doonop_spark.functions.canonical import (
     url_hash_col,
 )
 from doonop_spark.functions.extract import extract_page_udf
-from doonop_spark.operators.bloom import bloom_probe, build_bloom, merge_bloom
+from doonop_spark.operators.bloom import (
+    bloom_flag_copartitioned,
+    bloom_probe,
+    build_bloom,
+    merge_bloom,
+)
 from doonop_spark.operators.dedup import SEEN_COLS, anti_join_seen, dedup_within_batch
 from doonop_spark.operators.filters import apply_link_filters
 from doonop_spark.operators.robots import robots_gate
@@ -69,6 +74,21 @@ __all__ = ["Statistics", "CrawlResult", "run_crawl"]
 RESULTS_SCHEMA = (
     "iteration int, dispatch_rank long, seq long, url string, depth int, data string"
 )
+
+
+def _observe_status(df: DataFrame, iteration: int, tag: str = ""):
+    """Attach per-status counts as an Observation riding the frame's next
+    materialize action (K2 stats without a dedicated groupBy job).
+    Returns (observed_df, get) where get() -> {n, ok, timeout, error}."""
+    obs = Observation(f"fetched_{tag}{iteration}")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("status") == "ok").alias("ok"),
+        F.count_if(F.col("status") == "timeout").alias("timeout"),
+        F.count_if(F.col("status") == "error").alias("error"),
+    )
+    return out, lambda: {k: int(v) for k, v in obs.get.items()}
 
 
 @dataclass
@@ -276,8 +296,22 @@ def run_crawl(
             )
         else:
             wave = wave.withColumn("dispatch_rank", F.monotonically_increasing_id())
+        # per-wave driver cost: every scalar the loop needs rides an
+        # Observation on a materialize action that runs anyway (observe
+        # fires on both localCheckpoint and parquet write) — no dedicated
+        # count/collect jobs. Here: wave size + (bucketed mode) the wave's
+        # bucket set for partition pruning.
+        obs_wave = Observation(f"wave_{iteration}")
+        wave_metrics = [F.count(F.lit(1)).alias("n")]
+        if bucketed_fetch:
+            wave_metrics.append(
+                F.collect_set(
+                    bucket_expr(F.col("url"), job.corpus_buckets)
+                ).alias("buckets")
+            )
+        wave = wave.observe(obs_wave, *wave_metrics)
         wave = io.materialize(wave, "wave", iteration)
-        n_sched = wave.count()  # cheap: wave is checkpointed
+        n_sched = int(obs_wave.get["n"])
         if n_sched == 0:
             break  # nothing dispatchable: job_counter == 0 (src/workload.rs:178)
         waves_run += 1
@@ -349,20 +383,16 @@ def run_crawl(
         # a partition predicate — the corpus scan reads ONLY the wave's
         # buckets instead of rescanning the whole corpus every wave.
         if bucketed_fetch:
-            # bucket set from the materialized wave (pre-gate superset of
-            # gated's buckets: still-correct pruning, no extra UDF pass)
-            bkts = [
-                r[0]
-                for r in wave.select(
-                    bucket_expr(F.col("url"), job.corpus_buckets).alias("b")
-                ).distinct().collect()
-            ]
+            # bucket set observed on the wave materialize (pre-gate superset
+            # of gated's buckets: still-correct pruning, no extra job)
+            bkts = list(obs_wave.get["buckets"])
             wave_b = gated.withColumn(
                 "bucket", bucket_expr(F.col("url"), job.corpus_buckets)
             )
             pruned = corpus.filter(F.col("bucket").isin(bkts))
             joined = wave_b.join(pruned, on=["bucket", "url"], how="left").drop("bucket")
-            fetched = io.materialize(shape(joined), "wave_fetched", iteration)
+            shaped, get_counts = _observe_status(shape(joined), iteration)
+            fetched = io.materialize(shaped, "wave_fetched", iteration)
         # Small waves broadcast INTO the corpus join: the corpus (the 100 TB
         # side) is probed in place instead of being shuffled under a
         # sort-merge join. Outer joins cannot broadcast their preserved
@@ -372,30 +402,31 @@ def run_crawl(
         # big side exactly once.
         elif n_sched <= job.broadcast_wave_max:
             hits = corpus.join(F.broadcast(gated), on="url", how="inner")
-            fetched = io.materialize(shape(hits), "wave_fetched", iteration)
+            shaped_h, get_hits = _observe_status(shape(hits), iteration, "hits")
+            fetched = io.materialize(shaped_h, "wave_fetched", iteration)
             missed = gated.join(
                 F.broadcast(fetched.select("url")), on="url", how="left_anti"
             ).withColumn("html", F.lit(None).cast("binary"))
             # materialized too: a lazy miss branch would re-run its Arrow
             # stage on every downstream action over `fetched`
-            missed = io.materialize(shape(missed), "wave_missed", iteration)
+            shaped_m, get_miss = _observe_status(shape(missed), iteration, "miss")
+            missed = io.materialize(shaped_m, "wave_missed", iteration)
             fetched = fetched.unionByName(missed)
+            get_counts = lambda: {
+                k: get_hits()[k] + get_miss()[k] for k in get_hits()
+            }
         else:
             joined = gated.join(corpus, on="url", how="left")
-            fetched = io.materialize(shape(joined), "wave_fetched", iteration)
+            shaped, get_counts = _observe_status(shape(joined), iteration)
+            fetched = io.materialize(shaped, "wave_fetched", iteration)
         ok = F.col("status") == "ok"
 
-        # ---- stats (one tiny collect) + per-host lineage metrics ---------
-        counts = {
-            (r["status"], r["is_retry"]): r["n"]
-            for r in fetched.groupBy("status", "is_retry")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        n_wave = sum(counts.values())  # may be 0: whole wave robots-skipped
-        n_ok = sum(v for (s, _), v in counts.items() if s == "ok")
-        n_timeout = sum(v for (s, _), v in counts.items() if s == "timeout")
-        n_error = sum(v for (s, _), v in counts.items() if s == "error")
+        # ---- stats: observed on the fetch materialize, no extra job ------
+        c = get_counts()
+        n_wave = c["n"]  # may be 0: whole wave robots-skipped
+        n_ok = c["ok"]
+        n_timeout = c["timeout"]
+        n_error = c["error"]
 
         stats.count_visited += n_wave
         stats.count_collected += n_ok
@@ -463,12 +494,23 @@ def run_crawl(
             # computed ONCE over a materialized frame — filtering an
             # unmaterialized pipeline on probe/~probe would run the whole
             # explode/absolutize/dedup chain (and the probe UDF) twice.
-            probe = bloom_probe(spark, bloom_df)
-            flagged = io.materialize(
-                links.withColumn("__maybe", probe(F.col("url_hash"))),
-                "links_flagged",
-                iteration,
-            )
+            if job.bloom_probe_mode == "copartition":
+                # 10^10 path: cogroup links with bank rows on pid — the
+                # bank never touches the driver (operators/bloom.py)
+                flagged = io.materialize(
+                    bloom_flag_copartitioned(
+                        links, bloom_df, n_partitions=job.bloom_partitions
+                    ),
+                    "links_flagged",
+                    iteration,
+                )
+            else:
+                probe = bloom_probe(spark, bloom_df)
+                flagged = io.materialize(
+                    links.withColumn("__maybe", probe(F.col("url_hash"))),
+                    "links_flagged",
+                    iteration,
+                )
             checked = flagged.filter(F.col("__maybe")).drop("__maybe")
             checked = checked.join(seen.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti")
             fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
@@ -589,7 +631,11 @@ def run_crawl(
             full_seen = seen.unionByName(seen_new).dropDuplicates(SEEN_COLS)
             io.append(full_seen, "seen", iteration)
         else:
-            io.append(seen_new, "seen", iteration)
+            # lazy in memory mode: seen_new is a pure projection of the
+            # already-checkpointed new_links frame, so re-reading it later
+            # costs a column prune over cached blocks, not a job; durable
+            # backends write regardless (resume safety)
+            io.append(seen_new, "seen", iteration, eager=False)
         if use_bloom:
             # the delta joins the uncovered tail now; every fold_every
             # waves the accumulated tail is folded into the bank with ONE
@@ -615,14 +661,18 @@ def run_crawl(
                 )
                 bloom_pending = []
         iteration += 1
+        # fresh/seq bookkeeping observed on the frontier materialize itself
+        obs_fr = Observation(f"frontier_{iteration}")
+        new_frontier = new_frontier.observe(
+            obs_fr,
+            F.count_if(~F.col("is_retry")).alias("fresh"),
+            F.max("seq").alias("max_seq"),
+        )
         frontier = io.materialize(new_frontier, "frontier", iteration)
-        # one count on the materialized frontier keeps fresh/seq bookkeeping
-        agg = frontier.agg(
-            F.coalesce(F.sum(F.when(~F.col("is_retry"), 1).otherwise(0)), F.lit(0)),
-            F.coalesce(F.max("seq"), F.lit(seq_counter)),
-        ).collect()[0]
-        fresh_count = int(agg[0])
-        seq_counter = max(seq_counter, int(agg[1]))
+        vals = obs_fr.get
+        fresh_count = int(vals["fresh"])
+        if vals["max_seq"] is not None:
+            seq_counter = max(seq_counter, int(vals["max_seq"]))
         io.save_state(
             {
                 "iteration": iteration,

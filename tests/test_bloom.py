@@ -4,8 +4,10 @@ target, anti-join equivalence with and without the probe."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from doonop_spark.operators.bloom import (
     BloomBank,
@@ -94,3 +96,91 @@ def test_merge_bloom(spark):
         [r.url_hash for r in a.unionByName(b).collect()], dtype=np.int64
     )
     assert merged.maybe_seen(all_h).all()
+
+
+def test_anti_join_probe_runs_once_per_row(spark, seen):
+    """The probe branch must flag ONCE over a materialized frame: a lazy
+    probe/~probe split would run the (possibly expensive) upstream plan and
+    the probe UDF twice per wave (measured 4.4× in the crawl loop).
+    Accumulator counts total rows through a counting probe."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_probe(col):
+        @F.pandas_udf(T.BooleanType())
+        def _probe(h: pd.Series) -> pd.Series:
+            acc.add(len(h))
+            return (h % 2 == 0)
+
+        return _probe(col)
+
+    links = (
+        spark.range(0, 1000)
+        .select(F.concat(F.lit("http://z.example/p"), F.col("id")).alias("ukey"))
+        .withColumn("url_hash", F.xxhash64("ukey"))
+    )
+    out = anti_join_seen(links, seen, counting_probe)
+    out.count()
+    # both branches consumed; probe evaluated exactly once per input row
+    assert acc.value == 1000
+
+
+def test_copartitioned_flags_match_broadcast(spark, seen):
+    """The cogroup probe (no driver bank) must flag every row identically
+    to the broadcast probe — including rows whose pid has no bank row
+    (definitely new) and hashes that are bloom false positives."""
+    from doonop_spark.operators.bloom import bloom_flag_copartitioned
+
+    links = (
+        spark.range(2500, 9000)
+        .select(F.concat(F.lit("http://x.example/p"), F.col("id")).alias("ukey"))
+        .withColumn("url_hash", F.xxhash64("ukey"))
+    )
+    bloom = build_bloom(seen, n_partitions=8, expected_per_partition=1000)
+    bank = BloomBank.collect(bloom)
+    expected = {
+        r.ukey: bool(m)
+        for r, m in zip(
+            links.collect(),
+            bank.maybe_seen(
+                np.array([r.url_hash for r in links.collect()], dtype=np.int64)
+            ),
+        )
+    }
+    got = {
+        r.ukey: r["__maybe"]
+        for r in bloom_flag_copartitioned(links, bloom, n_partitions=8).collect()
+    }
+    assert got == expected
+    # no false negatives: every actually-seen key flagged maybe
+    assert all(got[f"http://x.example/p{i}"] for i in range(2500, 5000))
+
+
+def test_copartitioned_empty_pid_is_definitely_new(spark):
+    """A pid with no bank row means no seen keys hash there: candidates in
+    that pid are definitely new (False), and the probe must not error."""
+    from doonop_spark.operators.bloom import bloom_flag_copartitioned
+
+    # one seen key ⇒ at most one of 16 pids has a bank row
+    seen1 = spark.createDataFrame(
+        [("http://only.example/",)], "ukey string"
+    ).withColumn("url_hash", F.xxhash64("ukey"))
+    bloom = build_bloom(seen1, n_partitions=16, expected_per_partition=64)
+    links = (
+        spark.range(0, 200)
+        .select(F.concat(F.lit("http://new.example/"), F.col("id")).alias("ukey"))
+        .withColumn("url_hash", F.xxhash64("ukey"))
+    )
+    rows = bloom_flag_copartitioned(links, bloom, n_partitions=16).collect()
+    assert len(rows) == 200
+    bank = BloomBank.collect(bloom)
+    exp = bank.maybe_seen(np.array([r.url_hash for r in rows], dtype=np.int64))
+    assert [r["__maybe"] for r in rows] == [bool(x) for x in exp]
+
+
+def test_copartitioned_partition_mismatch_raises(spark, seen):
+    from doonop_spark.operators.bloom import bloom_flag_copartitioned
+
+    bloom = build_bloom(seen, n_partitions=8, expected_per_partition=1000)
+    links = seen.limit(50)
+    with pytest.raises(Exception, match="built with p=8"):
+        bloom_flag_copartitioned(links, bloom, n_partitions=4).collect()

@@ -64,6 +64,10 @@ def test_absolutize_keeps_opaque_schemes():
         absolutize("https://example.net", "javascript:void(0)")
         == "javascript:void(0)"
     )
+    # round-2 Hypothesis counterexample, promoted to a regression golden:
+    # 'A:' is a valid opaque URL per url::Url (scheme lowercased, no "://")
+    assert absolutize("", "A:") == "a:"
+    assert canonicalize("a:") == "a:"
 
 
 def test_canonicalize_normalizations():

@@ -258,3 +258,16 @@ def test_side_null_is_collected(spark):
     assert res.stats.count_collected == 2  # nulls count toward the limit
     assert len(rows) == 2
     assert all(r.data is None for r in rows)  # collected value is null
+
+
+def test_builder_respects_configured_master(monkeypatch):
+    """spark-submit --master yarn sets the spark.master SparkConf system
+    property; the session builder must NOT override it with local[*]
+    (builder.master() wins over conf, so setting it clobbers the cluster).
+    """
+    from doonop_spark.__main__ import _builder
+
+    monkeypatch.delenv("SPARK_MASTER", raising=False)
+    assert "spark.master" not in _builder(master_configured=True)._options
+    # ...and still fills in a local default when nothing is configured
+    assert _builder(master_configured=False)._options["spark.master"] == "local[*]"

@@ -301,6 +301,37 @@ def test_bloom_sidecar_crawl_identical(spark):
     assert vars(base.stats) == vars(bloomed.stats)
 
 
+def test_bloom_copartitioned_crawl_identical(spark):
+    """The 10^10 probe path (cogroup on pid, bank never driver-resident)
+    reproduces the exact-path crawl byte-identically — results, seen set,
+    stats — including across bank folds (fold_every=2)."""
+    corpus = synthetic_corpus(spark, n_hosts=3, n_pages=90)
+    seeds = ["http://h0000.example/p0", "http://h0001.example/p0"]
+    base = run_crawl(
+        spark, CrawlJob(seeds=seeds, engines=None, per_host_budget=64), corpus
+    )
+    coparted = run_crawl(
+        spark,
+        CrawlJob(
+            seeds=seeds,
+            engines=None,
+            per_host_budget=64,
+            bloom_partitions=8,
+            bloom_expected_per_partition=256,
+            bloom_fold_every=2,
+            bloom_probe_mode="copartition",
+        ),
+        corpus,
+    )
+    assert sorted((r.url, r.data) for r in base.results.collect()) == sorted(
+        (r.url, r.data) for r in coparted.results.collect()
+    )
+    assert sorted(r.ukey for r in base.seen.collect()) == sorted(
+        r.ukey for r in coparted.seen.collect()
+    )
+    assert vars(base.stats) == vars(coparted.stats)
+
+
 def test_bucketed_corpus_crawl_identical(spark, tmp_path):
     """Storage-partitioned fetch: crawling a bucket-partitioned corpus
     yields byte-identical results to the plain url join, and each wave's
@@ -469,6 +500,30 @@ def test_politeness_impl_pandas_crawl_identical(spark):
     )
     assert vars(w.stats) == vars(p.stats)
     assert w.iterations == p.iterations
+
+
+def test_opaque_url_enters_seen_never_collected(spark):
+    """Frontier policy for opaque non-special URLs (``mailto:``, ``a:``):
+    ``url::Url::parse`` accepts them, so in the reference they ENTER the
+    frontier/seen set — but they have no host and can never resolve in the
+    page corpus, so they surface as a terminal fetch error (E3) and never a
+    result row. Pinned e2e after the round-2 property-test dispute."""
+    corpus = mock_corpus(
+        spark, {"http://a.com/": ["mailto:x@y.z", "http://b.com"], "http://b.com/": []}
+    )
+    res = run_crawl(spark, CrawlJob(seeds=["http://a.com"], engines=2), corpus)
+    assert sorted(r.ukey for r in res.seen.collect()) == [
+        "http://a.com/",
+        "http://b.com/",
+        "mailto:x@y.z",
+    ]
+    assert sorted(r.url for r in res.results.collect()) == [
+        "http://a.com/",
+        "http://b.com/",
+    ]
+    assert res.stats.count_visited == 3  # the opaque URL was dispatched once
+    assert res.stats.count_errors == 1  # ...and failed terminally
+    assert res.frontier.count() == 0  # ...and is never retried
 
 
 def test_metrics_lineage(spark):

@@ -122,3 +122,42 @@ def test_job_from_argv_bad_filter():
         job_from_argv(["http://a.com", "-f", "bogus"])
     with pytest.raises(ValueError):
         job_from_argv(["http://a.com", "--proxy", "sock;address=x"])
+
+
+def test_job_from_argv_reference_spellings():
+    """A command line copied verbatim from the reference's clap schema
+    (src/cfg.rs:25-98) parses identically: underscore flags
+    (--retry_threshold, --use_robots_txt, --robot), its short options, and
+    the --webdriver-url no-op."""
+    job = job_from_argv(
+        [
+            "http://a.com",
+            "-j", "2",
+            "-l", "7",
+            "-b", "chrome",
+            "-p", "5000",
+            "-w", "http://localhost:9999",
+            "--retry_threshold", "60000",
+            "--retry-count", "2",
+            "--use_robots_txt",
+            "--robot", "MyBot",
+        ]
+    )
+    assert job.engines == 2 and job.limit == 7
+    assert job.browser == "chrome" and job.page_load_timeout_ms == 5000
+    assert job.use_robots and job.robot == "MyBot"
+    assert job.retry_count == 2
+    # 60000 ms / 1000 / wave_seconds(30) = 2 logical waves
+    assert job.retry_threshold == pytest.approx(2.0)
+
+
+def test_job_from_argv_defaults_match_reference():
+    """Default config parity (src/cfg.rs): retry_policy=first,
+    retry_threshold=10000ms, retry_count=3, browser=firefox, robots off."""
+    job = job_from_argv(["http://a.com"])
+    assert job.retry_policy == RetryPolicy.FIRST
+    assert job.retry_count == 3
+    assert job.retry_threshold == pytest.approx(10.0 / 30.0)
+    assert job.browser == "firefox"
+    assert not job.use_robots
+    assert job.robot == "DoonopRobot"

@@ -161,3 +161,66 @@ def test_cosine_expr_is_jvm_side(spark):
     plan = plan_of(df)
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "zip_with" in plan and "aggregate(" in plan  # HOFs in the Project
+
+
+def test_per_wave_driver_jobs_flat_and_bounded(spark, monkeypatch):
+    """Per-wave fixed driver cost: every scalar the loop needs (wave size,
+    stats, frontier bookkeeping, bucket sets) rides an Observation on a
+    state-store materialize that runs anyway, and seen deltas append
+    lazily. Asserted over a ≥50-wave crawl:
+
+    - EVERY Spark job issued during the crawl is attributable to an
+      ``io.materialize``/``io.append`` call — zero standalone
+      count/collect/agg bookkeeping jobs anywhere in the loop;
+    - exactly 4 materialize actions per wave (wave, wave_fetched,
+      new_links, frontier), flat in the number of waves (appends:
+      compaction-only, ≤ waves/K).
+
+    (DAG-job counts per action vary with join strategy — broadcast
+    exchanges submit their own jobs — so the invariant is on ACTIONS.)"""
+    from doonop_spark.plans.job import CrawlJob
+    from doonop_spark.plans.loop import run_crawl
+    from doonop_spark.sources.corpus import synthetic_corpus
+    from doonop_spark.sources.tables import MemoryTableIO
+
+    def njobs():
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+
+    trace = []
+    orig_mat = MemoryTableIO.materialize
+    orig_app = MemoryTableIO.append
+
+    def mat(self, df, name, iteration):
+        a = njobs()
+        out = orig_mat(self, df, name, iteration)
+        trace.append(("mat", name, njobs() - a))
+        return out
+
+    def app(self, df, name, iteration, eager=True):
+        a = njobs()
+        orig_app(self, df, name, iteration, eager)
+        trace.append(("app", name, njobs() - a))
+
+    monkeypatch.setattr(MemoryTableIO, "materialize", mat)
+    monkeypatch.setattr(MemoryTableIO, "append", app)
+
+    corpus = synthetic_corpus(spark, n_hosts=1, n_pages=54, hot_share=1.0)
+    job = CrawlJob(seeds=["http://h0000.example/p0"], engines=1)
+    before = njobs()
+    res = run_crawl(spark, job, corpus)
+    total = njobs() - before
+    waves = res.iterations
+    assert waves >= 50 and res.stats.count_visited == 54
+
+    traced = sum(n for _, _, n in trace)
+    assert total == traced, (
+        f"{total - traced} job(s) issued outside the state store — a "
+        "bookkeeping count/collect leaked back into the loop"
+    )
+    mats = [name for kind, name, _ in trace if kind == "mat"]
+    # 4 per wave + the one-time seed-frontier materialize + the final
+    # empty-wave materialize that detects termination
+    assert len(mats) <= 4 * waves + 2, f"{len(mats)} materializes / {waves} waves"
+    # eager appends only on compaction waves (seen_compact_every=8)
+    eager_apps = [n for kind, _, n in trace if kind == "app" and n > 0]
+    assert len(eager_apps) <= waves // 8 + 1

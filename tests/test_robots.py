@@ -73,3 +73,43 @@ def test_robots_gate_spark(spark):
     assert got == ["http://a.example/ok", "javascript:void(0)"]
     # gate off → passthrough
     assert robots_gate(frontier, robots, use_robots=False).count() == 4
+
+
+def test_ua_exact_token_never_substring():
+    """RFC 9309 §2.2.1 / cylon: exact case-insensitive product-token match
+    only — robot 'Doonop' falls through to '*' when the named groups are
+    'doonopbot' and 'doo' (substring matching in either direction would
+    wrongly bind it to one of them)."""
+    txt = (
+        "User-agent: doonopbot\nDisallow: /bot/\n\n"
+        "User-agent: doo\nDisallow: /doo/\n\n"
+        "User-agent: *\nDisallow: /star/\n"
+    )
+    assert is_allowed(txt, "/bot/x", "Doonop")  # not 'doonopbot'
+    assert is_allowed(txt, "/doo/x", "Doonop")  # not 'doo' either
+    assert not is_allowed(txt, "/star/x", "Doonop")  # '*' is its group
+    # ...and the exact token binds, case-insensitively
+    assert not is_allowed(txt, "/bot/x", "DoonopBot")
+    assert is_allowed(txt, "/star/x", "DoonopBot")
+
+
+def test_ua_product_token_truncation():
+    """Google ExtractUserAgent: 'FooBot/2.1 (+url)' matches group 'foobot';
+    version suffixes on the group line are likewise truncated."""
+    txt = "User-agent: FooBot/1.0\nDisallow: /x/\n"
+    assert not is_allowed(txt, "/x/y", "FooBot/2.1 (+http://example.com)")
+    assert not is_allowed(txt, "/x/y", "foobot")
+    assert is_allowed(txt, "/x/y", "BarBot")  # no '*' group ⇒ no rules
+
+
+def test_ua_matching_groups_merge():
+    """RFC 9309: multiple groups naming the same token combine."""
+    txt = (
+        "User-agent: a\nDisallow: /one/\n\n"
+        "User-agent: b\nDisallow: /b/\n\n"
+        "User-agent: a\nDisallow: /two/\nCrawl-delay: 3\n"
+    )
+    assert not is_allowed(txt, "/one/x", "A")
+    assert not is_allowed(txt, "/two/x", "A")
+    assert is_allowed(txt, "/b/x", "A")
+    assert crawl_delay_of(txt, "A") == 3
