@@ -34,8 +34,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 
-# corpus scale: sf0.1 → 400k pages over 50 hosts (hot host owns 30%)
-N_PAGES = max(4_000, int(4_000_000 * SF))
+# corpus scale: sf0.1 → 400k pages over 50 hosts (hot host owns 30%).
+# SPARK_GRAFT_PAGES overrides (used by the sf1.0 = 4M-page crawl runs).
+N_PAGES = int(
+    os.environ.get("SPARK_GRAFT_PAGES", max(4_000, int(4_000_000 * SF)))
+)
 # the scaling protocol uses a 4x bigger corpus: per-task and shuffle-setup
 # fixed costs must be small against real work for the efficiency number to
 # mean anything (the host also carries co-tenant noise; medians + a bigger
@@ -133,6 +136,7 @@ def bfs_crawl_seconds(
     corpus_path: str,
     corpus_buckets: int = 0,
     bloom_partitions: int = 0,
+    bloom_probe_mode: str = "broadcast",
     politeness: bool = False,
 ) -> tuple[float, int]:
     """Full iterative BFS crawl wall time on a reduced corpus (the loop
@@ -155,6 +159,7 @@ def bfs_crawl_seconds(
         salt_target_rows=50_000,
         corpus_buckets=corpus_buckets,
         bloom_partitions=bloom_partitions,
+        bloom_probe_mode=bloom_probe_mode,
         bloom_expected_per_partition=max(N_PAGES // max(bloom_partitions, 1), 1024),
         use_robots=politeness,
     )
@@ -251,6 +256,13 @@ def main() -> None:
     crawl_bloom_s, visited_bl = bfs_crawl_seconds(spark, tmp, bloom_partitions=32)
     assert visited_bl == visited
     timings["bfs_crawl_bloom"] = round(crawl_bloom_s, 3)
+    # the 10^10 probe path: bank cogrouped with links on pid, never
+    # driver-collected — per-wave cost vs the broadcast bank, same answer
+    crawl_bloom_cp_s, visited_cp = bfs_crawl_seconds(
+        spark, tmp, bloom_partitions=32, bloom_probe_mode="copartition"
+    )
+    assert visited_cp == visited
+    timings["bfs_crawl_bloom_copart"] = round(crawl_bloom_cp_s, 3)
     crawl_polite_s, visited_p = bfs_crawl_seconds(spark, tmp, politeness=True)
     assert visited_p == visited  # budgets defer, never drop
     timings["bfs_crawl_politeness"] = round(crawl_polite_s, 3)
@@ -259,6 +271,7 @@ def main() -> None:
     for name in (
         "dedup_exact",
         "minhash_lsh_dedup",
+        "minhash_dedup_keep",
         "simhash_dedup",
         "ngram_jaccard_dedup",
         "ann_topk_exact",

@@ -386,6 +386,7 @@ def dedup_components(
         ).distinct()
     labels = labels.withColumn("label", F.col("v")).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["a"] == labels["v"])
@@ -408,6 +409,14 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # never ship silently-wrong labels: a chain deeper than max_iter
+        # hops would split one duplicate cluster into several "keepers"
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — min-label "
+            "propagation needs one round per hop of the deepest chain"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
 
 

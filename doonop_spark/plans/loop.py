@@ -65,7 +65,7 @@ from doonop_spark.operators.schedule import (
     select_wave,
 )
 from doonop_spark.plans.job import CrawlJob, RetryPolicy
-from doonop_spark.sources.corpus import bucket_expr
+from doonop_spark.sources.corpus import bucket_expr, corpus_bucket_count
 from doonop_spark.sources.seeds import seed_frontier, seeds_from_list
 from doonop_spark.sources.tables import MemoryTableIO, TableIO
 
@@ -258,8 +258,23 @@ def run_crawl(
         )
 
     # storage-partitioned fetch: corpus written by write_bucketed_corpus
-    # carries a 'bucket' partition column derived from pmod(xxhash64(url), B)
-    bucketed_fetch = job.corpus_buckets > 0 and "bucket" in corpus.columns
+    # carries a 'bucket' partition column derived from pmod(xxhash64(url), B).
+    # B is validated against — or derived from — the layout's own record
+    # (read_bucketed_corpus sidecar → column metadata): pruning with the
+    # wrong modulus would silently miss every page (fetch "errors"), so a
+    # mismatch must fail loudly instead.
+    layout_b = corpus_bucket_count(corpus)
+    corpus_buckets = job.corpus_buckets
+    if layout_b is not None:
+        if corpus_buckets == 0:
+            corpus_buckets = layout_b  # bucketed corpus ⇒ prune by default
+        elif corpus_buckets != layout_b:
+            raise ValueError(
+                f"corpus_buckets={corpus_buckets} but the corpus layout was "
+                f"written with n_buckets={layout_b}; pmod(xxhash64(url), "
+                f"{corpus_buckets}) would match no stored partition"
+            )
+    bucketed_fetch = corpus_buckets > 0 and "bucket" in corpus.columns
 
     # ---- the loop (reference src/workload.rs:79-200) -----------------------
     waves_run = 0
@@ -306,7 +321,7 @@ def run_crawl(
         if bucketed_fetch:
             wave_metrics.append(
                 F.collect_set(
-                    bucket_expr(F.col("url"), job.corpus_buckets)
+                    bucket_expr(F.col("url"), corpus_buckets)
                 ).alias("buckets")
             )
         wave = wave.observe(obs_wave, *wave_metrics)
@@ -387,7 +402,7 @@ def run_crawl(
             # of gated's buckets: still-correct pruning, no extra job)
             bkts = list(obs_wave.get["buckets"])
             wave_b = gated.withColumn(
-                "bucket", bucket_expr(F.col("url"), job.corpus_buckets)
+                "bucket", bucket_expr(F.col("url"), corpus_buckets)
             )
             pruned = corpus.filter(F.col("bucket").isin(bkts))
             joined = wave_b.join(pruned, on=["bucket", "url"], how="left").drop("bucket")

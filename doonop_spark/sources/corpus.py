@@ -33,6 +33,7 @@ __all__ = [
     "bucket_expr",
     "write_bucketed_corpus",
     "read_bucketed_corpus",
+    "corpus_bucket_count",
 ]
 
 _EPOCH = "2024-01-01 00:00:00"
@@ -212,13 +213,44 @@ def write_bucketed_corpus(corpus: DataFrame, path: str, n_buckets: int = 64) -> 
         .partitionBy("bucket")
         .parquet(path)
     )
+    # B travels WITH the layout: pmod(xxhash64(url), B') with B' ≠ B maps
+    # urls to partition values that don't exist, silently turning every
+    # fetch into a miss. The sidecar (underscore-prefixed: invisible to
+    # Spark's file listing, like _SUCCESS) lets readers recover the true B.
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_doonop_buckets.json"), "w") as f:
+        _json.dump({"n_buckets": n_buckets}, f)
 
 
 def read_bucketed_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Read a corpus written by :func:`write_bucketed_corpus`; the
     ``bucket`` partition column stays on the frame so the crawl loop can
-    push a pruning predicate into the scan."""
-    return spark.read.parquet(path)
+    push a pruning predicate into the scan. The layout's bucket count is
+    attached as column metadata on ``bucket`` (key ``n_buckets``) so the
+    loop can validate — or derive — B instead of trusting a flag."""
+    import json as _json
+    import os as _os
+
+    df = spark.read.parquet(path)
+    sidecar = _os.path.join(path, "_doonop_buckets.json")
+    if _os.path.exists(sidecar) and "bucket" in df.columns:
+        with open(sidecar) as f:
+            n = int(_json.load(f)["n_buckets"])
+        df = df.withColumn(
+            "bucket", F.col("bucket").alias("bucket", metadata={"n_buckets": n})
+        )
+    return df
+
+
+def corpus_bucket_count(corpus: DataFrame) -> int | None:
+    """The bucket count a corpus frame was written with, if known (column
+    metadata set by :func:`read_bucketed_corpus`); None otherwise."""
+    if "bucket" not in corpus.columns:
+        return None
+    md = corpus.schema["bucket"].metadata
+    return int(md["n_buckets"]) if "n_buckets" in md else None
 
 
 def pages_from_documents(

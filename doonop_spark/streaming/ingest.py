@@ -121,7 +121,11 @@ _SIGHTING_STATE = T.StructType(
 )
 
 
-def stream_first_sightings(links: DataFrame) -> DataFrame:
+def stream_first_sightings(
+    links: DataFrame,
+    state_ttl_ms: int | None = None,
+    max_hashes_per_host: int | None = None,
+) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): emit each
     link the FIRST time its host group ever sees it, across micro-batches.
     State per host = the array of emitted ``xxhash64`` keys; duplicates
@@ -129,16 +133,39 @@ def stream_first_sightings(links: DataFrame) -> DataFrame:
     with a checkpointed query: re-processing a batch replays the same
     state transition.
 
+    State is BOUNDED two ways (unbounded NoTimeout state would grow
+    forever on hot hosts and pay O(n) serialization every batch):
+
+    - ``state_ttl_ms``: processing-time timeout — a host idle that long
+      has its state dropped (a later re-sighting re-emits: the TTL is the
+      recall/boundedness trade, standard for dedup-feed state). None
+      (default) = never expire. Set it for CONTINUOUS deployments only:
+      with ProcessingTimeTimeout, Spark keeps scheduling micro-batches to
+      fire pending timeouts, so an ``availableNow`` batch-style query
+      would never terminate (measured: 200+ empty batches) — TTL and
+      availableNow are mutually exclusive by construction here.
+    - ``max_hashes_per_host``: hard cap with oldest-first eviction (None =
+      uncapped). An evicted hash may re-emit; the cap bounds worst-case
+      state for one pathological host.
+
+    The state array is appended in arrival order — never re-sorted — so an
+    unchanged batch rewrites nothing and a changed one pays O(new keys).
+
     Scale note: per-host state is proportional to that host's distinct
-    URLs — apt for the near-real-time feed this serves (fresh-crawl
-    discovery streams); the 10^10 historical seen-set stays in the batch
-    anti-join + bloom sidecar, not in streaming state.
+    URLs inside the TTL — apt for the near-real-time feed this serves
+    (fresh-crawl discovery streams); the 10^10 historical seen-set stays
+    in the batch anti-join + bloom sidecar, not in streaming state.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def dedup(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
+        if state.hasTimedOut:
+            state.remove()
+            return
+        kept = list(state.get[0]) if state.exists else []
+        seen = set(kept)
         host = key[0]
+        changed = False
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -146,16 +173,29 @@ def stream_first_sightings(links: DataFrame) -> DataFrame:
                 subset=["url_hash"]
             )
             if len(fresh):
-                seen.update(int(h) for h in fresh["url_hash"])
+                new = [int(h) for h in fresh["url_hash"]]
+                seen.update(new)
+                kept.extend(new)  # arrival order: no re-sort per batch
+                changed = True
                 yield fresh.assign(host=host)[["host", "url", "url_hash"]]
-        state.update((sorted(seen),))
+        if max_hashes_per_host is not None and len(kept) > max_hashes_per_host:
+            kept = kept[-max_hashes_per_host:]  # oldest-first eviction
+            changed = True
+        if changed or not state.exists:
+            state.update((kept,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
 
     return links.groupBy("host").applyInPandasWithState(
         dedup,
         outputStructType=_SIGHTING_OUT,
         stateStructType=_SIGHTING_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -368,6 +368,35 @@ def test_bucketed_corpus_crawl_identical(spark, tmp_path):
     assert "bucket" in pf[1].split("]", 1)[0]
 
 
+def test_bucketed_corpus_wrong_b_fails_loudly(spark, tmp_path):
+    """pmod(xxhash64(url), B') with B' ≠ layout B maps urls to partition
+    values that don't exist — every fetch silently misses. The loop must
+    read the layout's own bucket count (sidecar → column metadata) and
+    refuse a mismatched flag instead."""
+    from doonop_spark.sources.corpus import (
+        read_bucketed_corpus,
+        write_bucketed_corpus,
+    )
+
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=20)
+    path = str(tmp_path / "b16")
+    write_bucketed_corpus(corpus, path, n_buckets=16)
+    bcorpus = read_bucketed_corpus(spark, path)
+    seeds = ["http://h0000.example/p0", "http://h0001.example/p0"]
+
+    with pytest.raises(ValueError, match="written with n_buckets=16"):
+        run_crawl(spark, CrawlJob(seeds=seeds, engines=8, corpus_buckets=8), bcorpus)
+
+    # ...and with no flag at all, B derives from the layout: the crawl
+    # prunes correctly and matches the plain-corpus run
+    base = run_crawl(spark, CrawlJob(seeds=seeds, engines=8), corpus)
+    derived = run_crawl(spark, CrawlJob(seeds=seeds, engines=8), bcorpus)
+    assert sorted((r.url, r.data) for r in base.results.collect()) == sorted(
+        (r.url, r.data) for r in derived.results.collect()
+    )
+    assert vars(base.stats) == vars(derived.stats)
+
+
 def test_seen_compaction_identical_and_bounded(spark, tmp_path):
     """Seen-delta compaction: aggressive compaction (every 2 waves) yields
     byte-identical crawl output, and the durable backend holds O(K) seen

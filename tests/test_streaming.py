@@ -106,3 +106,89 @@ def test_first_sightings_stateful_dedup(spark, tmp_path):
     )
     assert out.count() == truth
     assert out.groupBy("host").count().count() == 2  # per-host state groups
+
+
+def test_first_sightings_state_cap_bounds_and_reemits(spark, tmp_path):
+    """max_hashes_per_host: state is hard-capped with oldest-first
+    eviction — an evicted key may re-emit (documented trade), but state
+    never exceeds the cap; dedup within the cap window still holds."""
+    pages_dir = str(tmp_path / "pages_cap")
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=30)
+    corpus.write.mode("overwrite").parquet(pages_dir)
+    corpus.write.mode("append").parquet(pages_dir)
+
+    pages = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    q = (
+        stream_first_sightings(
+            stream_discovered_links(pages), state_ttl_ms=None, max_hashes_per_host=4
+        )
+        .writeStream.format("memory")
+        .queryName("sightings_cap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM sightings_cap")
+    # duplicates CAN re-emit past the cap window, but never within a batch,
+    # and total output stays far below the raw duplicated link volume
+    per_url = out.groupBy("url").count()
+    raw = stream_discovered_links_batch_count(spark, corpus)
+    assert out.count() < raw
+    assert per_url.agg(F.max("count")).collect()[0][0] <= 4
+
+
+def stream_discovered_links_batch_count(spark, corpus):
+    """Raw (pre-dedup) discovered-link volume of the doubled corpus."""
+    from doonop_spark.functions.extract import extract_page_udf
+
+    links = (
+        corpus.withColumn("__page", extract_page_udf("url", "html"))
+        .select(F.explode("__page.links"))
+    )
+    return links.count() * 2
+
+
+def test_first_sightings_ttl_expires_and_reemits(spark, tmp_path):
+    """state_ttl_ms (continuous deployments): an idle host's state expires
+    via processing-time timeout, so the same link re-emits after the TTL —
+    bounded state, documented recall trade. Uses a processingTime trigger
+    (TTL + availableNow would never terminate: Spark keeps scheduling
+    batches to fire pending timeouts)."""
+    import time
+
+    pages_dir = str(tmp_path / "pages_ttl")
+    corpus = synthetic_corpus(spark, n_hosts=1, n_pages=4, hot_share=1.0)
+    corpus.write.mode("overwrite").parquet(pages_dir)
+
+    pages = spark.readStream.schema(corpus.schema).parquet(pages_dir)
+    q = (
+        stream_first_sightings(
+            stream_discovered_links(pages), state_ttl_ms=500
+        )
+        .writeStream.format("memory")
+        .queryName("sightings_ttl")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        first = None
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM sightings_ttl").collect()[0].c
+            if first is None and n > 0:
+                first = n
+                # same files re-land AFTER the TTL has expired the state
+                time.sleep(3)
+                corpus.write.mode("append").parquet(pages_dir)
+            elif first is not None and n > first:
+                break
+            time.sleep(1)
+        assert first is not None and n > first, (first, n)
+    finally:
+        q.stop()

@@ -199,3 +199,20 @@ def test_minhash_on_real_documents(spark):
     # recall on the driver-generated corpus: every exact near-dup found
     missed = exact_pairs - approx_pairs
     assert len(missed) <= max(1, len(exact_pairs) // 10)  # ≥90% recall
+
+
+def test_dedup_components_nonconvergence_raises(spark):
+    """A duplicate chain deeper than max_iter must raise, not silently
+    return split components (multiple keepers for one cluster)."""
+    import pytest as _pytest
+
+    from doonop_spark.operators.textdedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge in 2 rounds"):
+        dedup_components(chain, max_iter=2)
+    # with enough rounds the same chain converges to one component
+    comp = dedup_components(chain, max_iter=25)
+    assert {r.component_id for r in comp.collect()} == {0}
