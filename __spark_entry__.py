@@ -558,6 +558,30 @@ def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep(docs, pairs, "doc_id").select("doc_id")
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by content-keyed
+    hashing (pmod(xxhash64(key), 100) range predicates) — reproducible at
+    any parallelism, unlike randomSplit. Shuffle-free projection; the one
+    groupBy here is only the verification aggregate."""
+    from doonop_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    lab = hash_split(docs, "doc_id", {"train": 80, "valid": 10, "test": 10})
+    return lab.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~20% corpus sample via hash bucketing: stable under
+    repartitioning and re-runs, and nested (the 10% sample is a subset of
+    the 20% one) — the curation primitive ``df.sample`` cannot provide."""
+    from doonop_spark.operators.sampling import deterministic_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 20).select("doc_id")
+
+
 def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 SURT mode: aggressive seen-key (host reversed, www stripped,
     fragment dropped, query sorted) — the oracle is the closed form for
@@ -676,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "bloom_dedup_copart": q_bloom_dedup_copart,
         "minhash_dedup_keep": q_minhash_dedup_keep,
+        "dataset_split": q_dataset_split,
+        "deterministic_sample": q_deterministic_sample,
         "surt_key": q_surt_key,
         "shingles": q_shingles,
         "pricing_summary": q_pricing_summary,
@@ -1379,6 +1405,27 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup_copart": """
             SELECT doc_id FROM documents
             WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        """,
+        # content-keyed hash split/sample: replay xxhash64 over the
+        # stringified key, signed pmod, range predicates
+        "dataset_split": f"""
+            WITH b AS (
+              SELECT ((({_xxh64_sql("CAST(doc_id AS VARCHAR)")}) % 100) + 100) % 100
+                       AS bucket,
+                     n_chars
+              FROM documents
+            )
+            SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM b GROUP BY 1
+        """,
+        "deterministic_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE ((({_xxh64_sql("CAST(doc_id AS VARCHAR)")}) % 100) + 100) % 100
+                  < 20
         """,
         # the composed deliverable: minhash pair SQL (XXH64 replay) feeds a
         # recursive-CTE transitive closure; keep doc_id iff the min id

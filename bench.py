@@ -321,9 +321,47 @@ def main() -> None:
     )
 
 
+def crawl_only() -> None:
+    """Crawl-variant comparison at N_PAGES (override via SPARK_GRAFT_PAGES)
+    without the scaling protocol or query sweep — used for the sf1.0
+    (4M-page) runs where the 16M-page scaling corpus would be excessive.
+    Prints one JSON line of per-variant seconds + URLs/sec."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    spark = session(CPUS)
+    tmp = os.path.join(tempfile.gettempdir(), f"doonop_bench_corpus_{N_PAGES}")
+    ensure_corpus(spark, tmp, N_PAGES)
+    out: dict[str, dict] = {}
+    plain_s, visited = bfs_crawl_seconds(spark, tmp)
+    out["plain"] = {"sec": round(plain_s, 1), "urls_per_sec": round(visited / plain_s, 1)}
+
+    tmp_bucketed = tmp + "_bucketed"
+    if not os.path.exists(os.path.join(tmp_bucketed, "_SUCCESS")):
+        from doonop_spark.sources.corpus import write_bucketed_corpus
+
+        write_bucketed_corpus(spark.read.parquet(tmp), tmp_bucketed, n_buckets=64)
+    s, v = bfs_crawl_seconds(spark, tmp_bucketed, corpus_buckets=64)
+    assert v == visited
+    out["bucketed"] = {"sec": round(s, 1), "urls_per_sec": round(v / s, 1)}
+    s, v = bfs_crawl_seconds(spark, tmp, bloom_partitions=32)
+    assert v == visited
+    out["bloom_broadcast"] = {"sec": round(s, 1), "urls_per_sec": round(v / s, 1)}
+    s, v = bfs_crawl_seconds(
+        spark, tmp, bloom_partitions=32, bloom_probe_mode="copartition"
+    )
+    assert v == visited
+    out["bloom_copartition"] = {"sec": round(s, 1), "urls_per_sec": round(v / s, 1)}
+    s, v = bfs_crawl_seconds(spark, tmp, politeness=True)
+    assert v == visited
+    out["politeness"] = {"sec": round(s, 1), "urls_per_sec": round(v / s, 1)}
+    spark.stop()
+    print(json.dumps({"n_pages": N_PAGES, "cpus": CPUS, "variants": out}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--scale":
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         print(json.dumps(measure_level(int(sys.argv[2]), sys.argv[3])))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--crawl-only":
+        crawl_only()
     else:
         main()
