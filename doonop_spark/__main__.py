@@ -91,6 +91,19 @@ def main(argv: list[str] | None = None) -> int:
     job.bloom_probe_mode = ours.bloom_probe_mode
     job.seen_compact_every = ours.seen_compact_every
 
+    # --use_robots_txt without a robots table would silently not gate at
+    # all (robots_gate's table-missing semantics are per-HOST fetch-error
+    # skips, not engine-wide bypass) — refuse loudly instead
+    if job.use_robots and not ours.robots_table:
+        print(
+            "error: --use_robots_txt needs --robots-table <parquet of "
+            "(host, robots_txt)> — a corpus-join engine has no live "
+            "robots fetch; without the table every host would either be "
+            "silently skipped or silently admitted",
+            file=sys.stderr,
+        )
+        return 2
+
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
     corpus = spark.read.parquet(ours.corpus)

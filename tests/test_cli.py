@@ -271,3 +271,24 @@ def test_builder_respects_configured_master(monkeypatch):
     assert "spark.master" not in _builder(master_configured=True)._options
     # ...and still fills in a local default when nothing is configured
     assert _builder(master_configured=False)._options["spark.master"] == "local[*]"
+
+
+def test_cli_use_robots_requires_table(fixture_corpus_path):
+    """--use_robots_txt with no --robots-table must fail loudly (exit 2),
+    not silently crawl ungated."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [
+            _sys.executable, "-m", "doonop_spark",
+            "--corpus", fixture_corpus_path,
+            "--use_robots_txt",
+            "http://localhost:8000/basic/index.html",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 2
+    assert "--robots-table" in proc.stderr

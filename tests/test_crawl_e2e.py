@@ -567,3 +567,30 @@ def test_metrics_lineage(spark):
     total = m.agg(F.sum("n")).collect()[0][0]
     assert total == res.stats.count_visited
     assert m.filter(F.col("partition_id").isNull()).count() == 0
+
+
+def test_broadcast_wave_crawl_identical(spark):
+    """broadcast_wave_max: small waves broadcast INTO the corpus join
+    (hits + reconstructed misses as two materializes). Results AND stats
+    must equal the plain path — stats now ride per-branch Observations
+    summed across the hit/miss frames, so a missing-page error in a
+    broadcast wave must still count."""
+    corpus = mock_corpus(
+        spark,
+        {
+            "http://a.com/": ["http://gone.com/404", "http://b.com"],
+            "http://b.com/": ["http://c.com"],
+            "http://c.com/": [],
+        },
+    )
+    base = run_crawl(spark, CrawlJob(seeds=["http://a.com"], engines=2), corpus)
+    bcast = run_crawl(
+        spark,
+        CrawlJob(seeds=["http://a.com"], engines=2, broadcast_wave_max=1_000),
+        corpus,
+    )
+    assert sorted((r.url, r.data) for r in base.results.collect()) == sorted(
+        (r.url, r.data) for r in bcast.results.collect()
+    )
+    assert vars(base.stats) == vars(bcast.stats)
+    assert bcast.stats.count_errors == 1  # the miss was counted via observe
