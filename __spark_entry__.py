@@ -582,6 +582,31 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, "doc_id", 20).select("doc_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing primitive: keep 100% of en, 30% of de, 5% of zh,
+    drop the rest — per-stratum deterministic hash selection, still a
+    shuffle-free projection+filter."""
+    from doonop_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 100, "de": 30, "zh": 5}
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: hash-shard, order by key within the
+    shard, bin by running token budget (contiguous fill; a doc may
+    straddle a boundary — the loader splits). One shuffle by shard + a
+    bounded within-shard sort; no global sort at any scale."""
+    from doonop_spark.operators.sampling import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", budget=5_000, n_shards=8).select(
+        "doc_id", "shard", "bin", "offset_in_bin"
+    )
+
+
 def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 SURT mode: aggressive seen-key (host reversed, www stripped,
     fragment dropped, query sorted) — the oracle is the closed form for
@@ -702,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "dataset_split": q_dataset_split,
         "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "surt_key": q_surt_key,
         "shingles": q_shingles,
         "pricing_summary": q_pricing_summary,
@@ -1426,6 +1453,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ((({_xxh64_sql("CAST(doc_id AS VARCHAR)")}) % 100) + 100) % 100
                   < 20
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ((({_xxh64_sql("CAST(doc_id AS VARCHAR)")}) % 100) + 100) % 100
+                  < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 30
+                              WHEN 'zh' THEN 5 ELSE 0 END
+        """,
+        # running-sum window replay: shard = pmod(xxh64(key), 8); bins by
+        # floor(previous cumulative n_chars / budget) within key order
+        "pack_sequences": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(((({_xxh64_sql("CAST(doc_id AS VARCHAR)")}) % 8) + 8) % 8
+                          AS INT) AS shard,
+                     n_chars
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard,
+                     CAST(coalesce(sum(n_chars) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS prev
+              FROM s
+            )
+            SELECT doc_id, shard,
+                   CAST(prev // 5000 AS BIGINT) AS bin,
+                   CAST(prev % 5000 AS BIGINT) AS offset_in_bin
+            FROM c
         """,
         # the composed deliverable: minhash pair SQL (XXH64 replay) feeds a
         # recursive-CTE transitive closure; keep doc_id iff the min id

@@ -284,6 +284,8 @@ def main() -> None:
         "token_vocab",
         "token_count",
         "winnow_fingerprint",
+        "dataset_split",
+        "pack_sequences",
         "lifo_schedule",
         "seen_anti_join",
         "politeness_topk",

@@ -10,6 +10,7 @@ from doonop_spark.operators.sampling import (
     deterministic_sample,
     hash_bucket,
     hash_split,
+    stratified_sample,
 )
 
 
@@ -68,3 +69,51 @@ def test_plan_is_shuffle_free(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure projection+filter: scales trivially
+
+
+def test_stratified_sample_per_stratum_thresholds(spark):
+    from pyspark.sql import functions as _F
+
+    df = spark.range(0, 3000).select(
+        _F.col("id").alias("doc_id"),
+        _F.element_at(
+            _F.array(_F.lit("en"), _F.lit("de"), _F.lit("zh")),
+            (_F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"en": 100, "de": 30})
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 1000          # 100% stratum keeps everything
+    assert 200 < counts.get("de", 0) < 400  # ~30%
+    assert "zh" not in counts            # default_pct=0 drops unlisted strata
+    # per-stratum selection is the same hash selection: nested vs global
+    g = {r.doc_id for r in deterministic_sample(df, "doc_id", 30).collect()}
+    d = {r.doc_id for r in out.filter(F.col("lang") == "de").collect()}
+    assert d == {i for i in g if i % 3 == 1}
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    from doonop_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("tok")
+    )
+    out = pack_sequences(df, "doc_id", "tok", budget=300, n_shards=4)
+    rows = sorted(
+        ((r.shard, r.doc_id, r.tok, r.bin, r.offset_in_bin) for r in out.collect())
+    )
+    # replay the contiguous fill per shard in doc_id order
+    cum = {}
+    for shard, doc, tok, b, off in rows:
+        prev = cum.get(shard, 0)
+        assert b == prev // 300, (shard, doc)
+        assert off == prev % 300
+        cum[shard] = prev + tok
+    # deterministic at any parallelism
+    out2 = pack_sequences(df.repartition(13), "doc_id", "tok", budget=300, n_shards=4)
+    assert rows == sorted(
+        ((r.shard, r.doc_id, r.tok, r.bin, r.offset_in_bin) for r in out2.collect())
+    )
+    # no global sort in the plan: the only sort is within-shard
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
