@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     ext.add_argument("--corpus", required=True, help="pages corpus parquet path")
     ext.add_argument("--corpus-buckets", type=int, default=0)
     ext.add_argument("--robots-table", help="parquet path of (host, robots_txt)")
+    # the reference ships sitemap seeding as scripts/sitemap.sh (robots.txt
+    # Sitemap: lines → xpath //loc); this runs the same expansion natively
+    ext.add_argument("--sitemap-seeds", action="store_true")
     ext.add_argument("--table-root", help="durable checkpoint dir (resumable)")
     ext.add_argument("--resume", action="store_true")
     ext.add_argument("--bloom-partitions", type=int, default=0)
@@ -103,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if ours.sitemap_seeds and not ours.robots_table:
+        print(
+            "error: --sitemap-seeds needs --robots-table (Sitemap: "
+            "declarations come from robots.txt, scripts/sitemap.sh:12)",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -110,6 +120,10 @@ def main(argv: list[str] | None = None) -> int:
     robots = (
         spark.read.parquet(ours.robots_table) if ours.robots_table else None
     )
+    if ours.sitemap_seeds:
+        from doonop_spark.sources.sitemap import seeds_with_sitemaps
+
+        job.seeds = seeds_with_sitemaps(job.seeds, robots, corpus, job.filters)
     io = (
         open_table_io("snapshot", ours.table_root) if ours.table_root else None
     )

@@ -292,3 +292,57 @@ def test_cli_use_robots_requires_table(fixture_corpus_path):
     )
     assert proc.returncode == 2
     assert "--robots-table" in proc.stderr
+
+
+def test_cli_sitemap_seeds(spark, tmp_path):
+    """--sitemap-seeds: robots Sitemap: declarations → sitemap XML in the
+    corpus → <loc> URLs become seeds (the reference's scripts/sitemap.sh
+    pipeline, run natively). Without --robots-table it refuses."""
+    from pyspark.sql import functions as _F
+
+    host = "s.example"
+    pages = {
+        f"http://{host}/a": "<main>A</main>",
+        f"http://{host}/b": "<main>B</main>",
+        f"http://{host}/sitemap.xml": (
+            "<urlset><url><loc>http://s.example/a</loc></url>"
+            f"<url><loc>http://{host}/b</loc></url></urlset>"
+        ),
+    }
+    corpus = spark.createDataFrame(
+        list(pages.items()), "url string, body string"
+    ).select(
+        "url",
+        _F.to_timestamp(_F.lit("2024-01-01")).alias("warc_ts"),
+        _F.encode(
+            _F.concat(_F.lit("<html><body>"), _F.col("body"), _F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+        _F.lit("").alias("text"),
+        _F.lit("en").alias("lang"),
+    )
+    cpath = str(tmp_path / "c.parquet")
+    corpus.write.parquet(cpath)
+    robots = spark.createDataFrame(
+        [(host, f"User-agent: *\nAllow: /\nSitemap: http://{host}/sitemap.xml\n")],
+        "host string, robots_txt string",
+    )
+    rpath = str(tmp_path / "r.parquet")
+    robots.write.parquet(rpath)
+
+    proc = run_cli(
+        ["--corpus", cpath, "--robots-table", rpath, "--sitemap-seeds"]
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert proc.stderr.rstrip().splitlines()[-1] == (
+        "Statistics: visited 2, collected 2, errors 0, retries 0"
+    )
+    # default check program ≡ identity on the page url (src/cfg.rs:344)
+    assert sorted(json.loads(l) for l in proc.stdout.splitlines()) == [
+        "http://s.example/a",
+        "http://s.example/b",
+    ]
+
+    bad = run_cli(["--corpus", cpath, "--sitemap-seeds"])
+    assert bad.returncode == 2
+    assert "--robots-table" in bad.stderr
