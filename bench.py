@@ -58,6 +58,9 @@ def session(cores: int) -> SparkSession:
         .config("spark.driver.memory", "48g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # a crashed python worker otherwise surfaces as an opaque socket
+        # EOF (and once as an executor thread blocked forever on the read)
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
