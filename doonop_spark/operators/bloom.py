@@ -190,6 +190,12 @@ def bloom_flag_copartitioned(
     instead of probing with the wrong modulus (which would yield false
     negatives = dropped-duplicate admissions). A pid with no bank row has
     no seen keys: every candidate there is definitely new.
+
+    The full links frame round-trips through Arrow here on purpose: a
+    "narrow" variant (cogroup only ``url_hash``, join the flags back) was
+    measured 2.3× slower at wave scale (0.62 s vs 1.41 s on 400k links,
+    local[32]) — the distinct + join-back shuffles cost more than the
+    extra column width through Arrow.
     """
     from pyspark.sql import types as T
 
