@@ -448,10 +448,12 @@ def test_resume_with_compaction(spark, tmp_path):
     )
 
 
-def test_resume_with_bloom(spark, tmp_path):
-    """Kill-and-resume with the bloom sidecar on: the bank is rebuilt from
-    the checkpointed seen set at resume, so the resumed run reproduces the
-    uninterrupted run exactly (never-drop invariant survives the restart)."""
+@pytest.mark.parametrize("probe_mode", ["broadcast", "copartition"])
+def test_resume_with_bloom(spark, tmp_path, probe_mode):
+    """Kill-and-resume with the bloom sidecar on (both probe modes): the
+    bank is rebuilt from the checkpointed seen set at resume, so the
+    resumed run reproduces the uninterrupted run exactly (never-drop
+    invariant survives the restart)."""
     from doonop_spark.sources.tables import SnapshotTableIO
 
     corpus = synthetic_corpus(spark, n_hosts=2, n_pages=16)
@@ -459,6 +461,7 @@ def test_resume_with_bloom(spark, tmp_path):
     kw = dict(
         seeds=seeds, engines=4, bloom_partitions=4,
         bloom_expected_per_partition=64, bloom_fold_every=2,
+        bloom_probe_mode=probe_mode,
     )
     job = CrawlJob(**kw)
 
