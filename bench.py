@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import sys
 import tempfile
@@ -250,6 +251,10 @@ def main() -> None:
     if not os.path.exists(os.path.join(tmp_bucketed, "_SUCCESS")):
         from doonop_spark.sources.corpus import write_bucketed_corpus
 
+        # a killed run can leave a partial dir without _SUCCESS;
+        # write_bucketed_corpus writes mode=overwrite (clears the path),
+        # but rmtree first so a non-parquet leftover can't confuse the scan
+        shutil.rmtree(tmp_bucketed, ignore_errors=True)
         write_bucketed_corpus(spark.read.parquet(tmp), tmp_bucketed, n_buckets=64)
     crawl_bucketed_s, visited_b = bfs_crawl_seconds(
         spark, tmp_bucketed, corpus_buckets=64
@@ -343,6 +348,10 @@ def crawl_only() -> None:
     if not os.path.exists(os.path.join(tmp_bucketed, "_SUCCESS")):
         from doonop_spark.sources.corpus import write_bucketed_corpus
 
+        # a killed run can leave a partial dir without _SUCCESS;
+        # write_bucketed_corpus writes mode=overwrite (clears the path),
+        # but rmtree first so a non-parquet leftover can't confuse the scan
+        shutil.rmtree(tmp_bucketed, ignore_errors=True)
         write_bucketed_corpus(spark.read.parquet(tmp), tmp_bucketed, n_buckets=64)
     s, v = bfs_crawl_seconds(spark, tmp_bucketed, corpus_buckets=64)
     assert v == visited

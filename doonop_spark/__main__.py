@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from doonop_spark.plans.job import job_from_argv
 from doonop_spark.plans.loop import run_crawl
+from doonop_spark.sources.corpus import read_bucketed_corpus
 from doonop_spark.sources.tables import open_table_io
 
 
@@ -46,10 +47,17 @@ def _master_configured() -> bool:
     """True iff a master is already configured (spark-submit --master sets
     the "spark.master" system property on the JVM side; builder.master()
     would silently override it)."""
-    from pyspark import SparkConf
-    from pyspark.core.context import SparkContext
+    from pyspark import SparkConf, SparkContext
 
-    SparkContext._ensure_initialized()  # connect/launch the py4j gateway
+    try:
+        # SparkConf() is a plain dict until the py4j gateway is up, so the
+        # gateway must be probed first; _ensure_initialized is private and
+        # absent on some pyspark lines — fall back to "not configured"
+        # (builder fills in a local master, harmless under spark-submit 3.x
+        # which also exports MASTER-related conf through the gateway).
+        SparkContext._ensure_initialized()
+    except AttributeError:
+        return False
     return SparkConf().contains("spark.master")
 
 
@@ -83,12 +91,24 @@ def main(argv: list[str] | None = None) -> int:
     ext.add_argument("--resume", action="store_true")
     ext.add_argument("--bloom-partitions", type=int, default=0)
     ext.add_argument(
-        "--bloom-probe-mode", choices=["broadcast", "copartition"], default="broadcast"
+        "--bloom-probe-mode",
+        choices=["auto", "broadcast", "copartition"],
+        default="auto",
     )
     ext.add_argument("--seen-compact-every", type=int, default=8)
+    # O3 ripeness clock: 'wave' = deterministic logical waves (default);
+    # 'wall' = reference parity, --retry_threshold honored in real ms
+    # against time.time() (src/retry.rs:38-46)
+    ext.add_argument("--retry-clock", choices=["wave", "wall"], default="wave")
     ours, rest = ext.parse_known_args(argv)
 
     job = job_from_argv(rest)
+    if ours.retry_clock == "wall":
+        # job_from_argv stored ms/1000/wave_seconds (logical waves);
+        # multiply back to SECONDS so the threshold is the reference's
+        # exact --retry-threshold-milis in real time
+        job.retry_threshold = job.retry_threshold * job.wave_seconds
+        job.retry_clock = "wall"
     job.corpus_buckets = ours.corpus_buckets
     job.bloom_partitions = ours.bloom_partitions
     job.bloom_probe_mode = ours.bloom_probe_mode
@@ -116,14 +136,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
-    corpus = spark.read.parquet(ours.corpus)
+    # read_bucketed_corpus attaches the layout's bucket count (sidecar →
+    # column metadata) so the loop can validate --corpus-buckets or derive
+    # B when the flag is unset; plain corpora fall through to a bare read
+    corpus = read_bucketed_corpus(spark, ours.corpus)
     robots = (
         spark.read.parquet(ours.robots_table) if ours.robots_table else None
     )
     if ours.sitemap_seeds:
-        from doonop_spark.sources.sitemap import seeds_with_sitemaps
+        # distributed S6: sitemap <loc> seeds stay a DataFrame all the way
+        # into the wave-0 frontier (a million-entry sitemap never becomes
+        # a driver list); cleaning/dedup/seq happen Spark-side in
+        # seed_frontier_distributed
+        from doonop_spark.sources.sitemap import (
+            expand_sitemaps,
+            sitemap_urls_from_robots,
+        )
 
-        job.seeds = seeds_with_sitemaps(job.seeds, robots, corpus, job.filters)
+        job.seed_frame = expand_sitemaps(sitemap_urls_from_robots(robots), corpus)
     io = (
         open_table_io("snapshot", ours.table_root) if ours.table_root else None
     )

@@ -46,7 +46,18 @@ __all__ = [
     "BloomBank",
     "bloom_probe",
     "bloom_flag_copartitioned",
+    "bank_size_bytes",
+    "resolve_probe_mode",
+    "BROADCAST_BANK_MAX_BYTES",
 ]
+
+# banks at or below this size broadcast (driver + every executor hold one
+# copy — cheap, no per-wave cogroup shuffle); above it the co-partitioned
+# probe keeps each task at bank/P bytes and the driver at zero. 256 MB is
+# well inside a default driver/executor heap while leaving broadcast for
+# the common 10^8-10^9-key regime; at the north-star 10^10 keys the bank
+# is ~12 GB and auto always picks copartition.
+BROADCAST_BANK_MAX_BYTES = 256 << 20
 
 # ``p`` (the bank's partition count) is carried EXPLICITLY in every row:
 # empty hash partitions emit no row from the groupBy build, so inferring
@@ -62,6 +73,34 @@ def _params(expected_per_partition: int, fp_rate: float) -> tuple[int, int]:
     m = max(64, (m + 63) // 64 * 64)  # word-align
     k = max(1, round(m / n * math.log(2)))
     return m, min(k, 16)
+
+
+def bank_size_bytes(
+    n_partitions: int, expected_per_partition: int, fp_rate: float
+) -> int:
+    """Exact size of a bank built with these parameters (p rows × m/8
+    bytes) — known BEFORE building, so probe-mode selection never needs to
+    look at data."""
+    m, _ = _params(expected_per_partition, fp_rate)
+    return n_partitions * (m // 8)
+
+
+def resolve_probe_mode(
+    mode: str,
+    n_partitions: int,
+    expected_per_partition: int,
+    fp_rate: float,
+    threshold_bytes: int = BROADCAST_BANK_MAX_BYTES,
+) -> str:
+    """'auto' → 'broadcast' when the bank fits ``threshold_bytes``, else
+    'copartition'; explicit modes pass through. The one knob the engine
+    can compute from its own parameters — users shouldn't hand-tune it."""
+    if mode != "auto":
+        if mode not in ("broadcast", "copartition"):
+            raise ValueError(f"unknown bloom probe mode {mode!r}")
+        return mode
+    size = bank_size_bytes(n_partitions, expected_per_partition, fp_rate)
+    return "broadcast" if size <= threshold_bytes else "copartition"
 
 
 def _positions(hashes: np.ndarray, m: int, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -46,7 +46,7 @@ def dedup_within_batch(links: DataFrame, order_cols: list) -> DataFrame:
 
 
 def anti_join_seen(
-    links: DataFrame, seen: DataFrame, bloom_probe=None
+    links: DataFrame, seen: DataFrame, bloom_probe=None, materializer=None
 ) -> DataFrame:
     """D1 — keep links whose canonical URL was never enqueued.
 
@@ -54,6 +54,14 @@ def anti_join_seen(
     ``f(url_hash_col) -> BooleanColumn`` ("maybe seen"); rows it clears as
     definitely-new bypass the exact anti-join shuffle entirely and are
     unioned back in (see operators/bloom.py).
+
+    ``materializer``: optional ``f(df) -> df`` that pins the flagged frame
+    so the probe runs once per row (the crawl loop passes its TableIO
+    materialize). The default is ``localCheckpoint(eager=True)`` — note
+    that leaves cached blocks resident until the returned frame is
+    garbage-collected and is not recomputable on executor loss; library
+    callers that care should supply their own materializer (e.g. a
+    persist they later unpersist, or a durable write+read).
     """
     if bloom_probe is not None:
         # Flag ONCE over a materialized frame, then split on the flag
@@ -62,9 +70,11 @@ def anti_join_seen(
         # UDF) twice — measured at 4.4× wave cost in the crawl loop, which
         # uses the same pattern via its durable materializer
         # (plans/loop.py, "links_flagged").
-        flagged = links.withColumn(
-            "__maybe", bloom_probe(F.col("url_hash"))
-        ).localCheckpoint(eager=True)
+        if materializer is None:
+            materializer = lambda df: df.localCheckpoint(eager=True)
+        flagged = materializer(
+            links.withColumn("__maybe", bloom_probe(F.col("url_hash")))
+        )
         maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
         fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
         checked = maybe.join(seen.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti")

@@ -126,7 +126,12 @@ def pack_sequences(
     )
     return (
         out.withColumn(
-            "bin", F.floor(F.col("__prev_tokens") / F.lit(budget)).cast("long")
+            # long integer division (Spark's `div`), NOT floor(float /):
+            # float division loses integer precision once a shard's
+            # cumulative token total exceeds 2^53, and the oracle (DuckDB
+            # `//`) divides exactly — `div` keeps the plans identical at
+            # any cumulative total
+            "bin", F.expr(f"__prev_tokens div {int(budget)}").cast("long")
         )
         .withColumn(
             "offset_in_bin",

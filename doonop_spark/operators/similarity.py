@@ -206,10 +206,19 @@ def ivf_topk(
     """IVF coarse quantizer: k-means centroids trained on a deterministic
     corpus sample (driver-side numpy Lloyd iterations), corpus assigned to
     its nearest list, queries probe the ``n_probe`` nearest lists. The
-    scan touches ~n_probe/n_lists of the corpus."""
+    scan touches ~n_probe/n_lists of the corpus.
+
+    The training sample is the ``train_sample`` rows with the smallest
+    ``xxhash64(id)`` — the same content-keyed selection as
+    ``operators/sampling.hash_bucket`` but with an exact row budget: a
+    hash-ordered top-k (per-partition top-k + driver merge, never a global
+    sort), so the trained centroids — and therefore ``ann_topk_ivf``
+    output at n_probe < n_lists — are identical at any partitioning,
+    parallelism, or AQE plan, and unbiased w.r.t. id order (an
+    ``orderBy(id).limit`` sample would train only on the lowest ids)."""
     sample = (
         corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(train_sample)
         .collect()
     )

@@ -139,6 +139,11 @@ class CrawlJob:
     """
 
     seeds: list[str] = field(default_factory=list)
+    # extra seed URLs as a DataFrame(url: string) — cleaned and unioned
+    # into the wave-0 frontier Spark-side, never driver-materialized (the
+    # scale path for --sitemap-seeds; sources/seeds.py
+    # seed_frontier_distributed). None = CLI/file seeds only.
+    seed_frame: object | None = None
     filters: list[Filter] = field(default_factory=list)
     limit: int | None = None  # O5: stop enqueueing once N results collected
     engines: int | None = 1  # reference default: 1 (src/cfg.rs:23,249)
@@ -146,7 +151,17 @@ class CrawlJob:
     # injection FIRST and NO are behaviorally identical (nothing to retry)
     retry_policy: RetryPolicy = RetryPolicy.FIRST
     retry_count: int = 3  # budget: count >= retry_count ⇒ give up
-    retry_threshold: float = 0.0  # logical waves until a retry ripens
+    # ripeness threshold: in 'wave' clock units (logical waves) or 'wall'
+    # clock units (seconds) depending on retry_clock
+    retry_threshold: float = 0.0
+    # retry ripeness clock (O3). 'wave': deterministic logical time — a
+    # retry ripens retry_threshold WAVES after requeue (test/repro mode).
+    # 'wall': reference parity — requeue stamps real time.time() and the
+    # retry ripens once now >= stamp + retry_threshold SECONDS, exactly
+    # like src/retry.rs:31-46 comparing elapsed wall-clock against
+    # --retry-threshold-milis. Don't mix clocks across a resume: retry_at
+    # values in the checkpointed frontier are in the writing run's units.
+    retry_clock: str = "wave"
     use_robots: bool = False
     robot: str = DEFAULT_ROBOT
     url_key: str = "parity"  # 'parity' (url::Url equality) | 'surt'
@@ -179,8 +194,10 @@ class CrawlJob:
     # 'broadcast': bank collects to the driver and broadcasts (fast at
     # sandbox scale; ~12 GB driver-resident at 10^10 keys). 'copartition':
     # links cogroup with bank rows on pid — the 10^10 path, no driver
-    # materialization of the bank ever (operators/bloom.py).
-    bloom_probe_mode: str = "broadcast"
+    # materialization of the bank ever (operators/bloom.py). 'auto'
+    # (default): the engine computes the bank size from its parameters and
+    # picks broadcast ≤ 256 MB, copartition above.
+    bloom_probe_mode: str = "auto"
     # fold accumulated seen deltas into the bloom bank every K waves; in
     # between, bloom-cleared rows are exact-checked against the ≤K-frame
     # uncovered tail (correct AND amortizes the bank update)

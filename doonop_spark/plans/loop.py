@@ -50,10 +50,13 @@ from doonop_spark.functions.canonical import (
 )
 from doonop_spark.functions.extract import extract_page_udf
 from doonop_spark.operators.bloom import (
+    BROADCAST_BANK_MAX_BYTES,
+    bank_size_bytes,
     bloom_flag_copartitioned,
     bloom_probe,
     build_bloom,
     merge_bloom,
+    resolve_probe_mode,
 )
 from doonop_spark.operators.dedup import SEEN_COLS, anti_join_seen, dedup_within_batch
 from doonop_spark.operators.filters import apply_link_filters
@@ -136,6 +139,7 @@ def run_crawl(
     data_expr: Column | None = None,
     resume: bool = False,
     cancel=None,
+    clock=None,
 ) -> CrawlResult:
     """Crawl ``corpus`` from ``job.seeds``; see module docstring.
 
@@ -149,7 +153,14 @@ def run_crawl(
     src/main.rs:41-48): when set, the current wave drains and commits,
     then the loop stops — everything collected so far is returned and the
     checkpoint is resumable.
+
+    ``clock`` (callable → seconds) is the wall-clock source for
+    ``job.retry_clock == 'wall'`` ripeness (O3 parity mode); defaults to
+    ``time.time``, injectable for deterministic tests.
     """
+    import time as _time
+
+    clock = clock or _time.time
     io = io or MemoryTableIO()
     # check_data_fn: optional Column factory over (url, html) evaluated
     # INSIDE the fetch stage (shape() below), for check programs that need
@@ -196,7 +207,7 @@ def run_crawl(
         seen = io.read_appended(spark, "seen")
     else:
         cleaned = seeds_from_list(job.seeds, job.filters)
-        if not cleaned:
+        if not cleaned and job.seed_frame is None:
             # reference: empty seed ⇒ empty result, zero stats
             # (src/workload.rs:81-83)
             empty = _empty_results(spark)
@@ -206,12 +217,35 @@ def run_crawl(
                              F.col("url").alias("ukey")),
                 empty, 0,
             )
-        frontier = seed_frontier(spark, cleaned, job.url_key)
         iteration = 0
-        seq_counter = len(cleaned)
         collected = 0
-        fresh_count = len(cleaned)
-        frontier = io.materialize(frontier, "frontier", 0)
+        if job.seed_frame is not None:
+            # distributed seeding (S6 at scale): sitemap-expanded seeds
+            # stay a DataFrame end-to-end; counts ride the materialize via
+            # an Observation instead of a driver list length
+            from doonop_spark.sources.seeds import seed_frontier_distributed
+
+            obs_seed = Observation("seed_frontier")
+            frontier = seed_frontier_distributed(
+                spark, cleaned, job.seed_frame, job.url_key, job.filters
+            ).observe(obs_seed, F.count(F.lit(1)).alias("n"))
+            frontier = io.materialize(frontier, "frontier", 0)
+            n_seeds = int(obs_seed.get["n"])
+            if n_seeds == 0:
+                empty = _empty_results(spark)
+                return CrawlResult(
+                    empty, _empty_metrics(spark), stats,
+                    empty.select(url_hash_col(F.col("url")).alias("url_hash"),
+                                 F.col("url").alias("ukey")),
+                    empty, 0,
+                )
+            seq_counter = n_seeds
+            fresh_count = n_seeds
+        else:
+            frontier = seed_frontier(spark, cleaned, job.url_key)
+            seq_counter = len(cleaned)
+            fresh_count = len(cleaned)
+            frontier = io.materialize(frontier, "frontier", 0)
         # the seen table is append-only (monotone, §2.9): store per-wave
         # DELTAS and anti-join against their union — rewriting the full
         # seen set every wave would be O(total²) over the crawl. Seeds are
@@ -245,7 +279,30 @@ def run_crawl(
     use_bloom = job.bloom_partitions > 0
     bloom_df = None
     bloom_pending: list[DataFrame] = []  # seen deltas not yet in the bank
+    bloom_probe_mode = job.bloom_probe_mode
     if use_bloom:
+        # 'auto': the bank's size is a pure function of its parameters, so
+        # the engine picks the probe strategy itself (broadcast under the
+        # threshold, co-partitioned cogroup above) and logs the choice
+        bloom_probe_mode = resolve_probe_mode(
+            job.bloom_probe_mode,
+            job.bloom_partitions,
+            job.bloom_expected_per_partition,
+            job.bloom_fp_rate,
+        )
+        if job.bloom_probe_mode == "auto":
+            import logging
+
+            logging.getLogger("doonop_spark").info(
+                "bloom probe mode auto → %s (bank %d bytes, threshold %d)",
+                bloom_probe_mode,
+                bank_size_bytes(
+                    job.bloom_partitions,
+                    job.bloom_expected_per_partition,
+                    job.bloom_fp_rate,
+                ),
+                BROADCAST_BANK_MAX_BYTES,
+            )
         bloom_df = io.materialize(
             build_bloom(
                 seen,
@@ -288,11 +345,16 @@ def run_crawl(
         if job.limit is not None and waves_run > 0 and collected >= job.limit:
             break
 
+        # O3 ripeness clock: logical wave index (deterministic) or real
+        # wall-clock seconds (reference parity, src/retry.rs:38-46)
+        wave_now = (
+            float(iteration) if job.retry_clock == "wave" else float(clock())
+        )
         wave = select_wave(
             frontier,
             job.retry_policy,
             job.engines,
-            now=float(iteration),
+            now=wave_now,
             fresh_empty=fresh_count == 0,
             per_host_budget=budgets,
             default_budget=job.per_host_budget,
@@ -509,7 +571,7 @@ def run_crawl(
             # computed ONCE over a materialized frame — filtering an
             # unmaterialized pipeline on probe/~probe would run the whole
             # explode/absolutize/dedup chain (and the probe UDF) twice.
-            if job.bloom_probe_mode == "copartition":
+            if bloom_probe_mode == "copartition":
                 # 10^10 path: cogroup links with bank rows on pid — the
                 # bank never touches the driver (operators/bloom.py)
                 flagged = io.materialize(
@@ -621,7 +683,14 @@ def run_crawl(
                 "seq",
                 F.lit(True).alias("is_retry"),
                 (F.col("retry_count") + 1).alias("retry_count"),
-                (F.lit(float(iteration + 1)) + F.lit(job.retry_threshold)).alias("retry_at"),
+                # wave clock: ripens retry_threshold waves after requeue;
+                # wall clock: the requeue stamps real time (the reference's
+                # ready_at = inserted_at + threshold, src/retry.rs:31-37)
+                (
+                    F.lit(float(iteration + 1) + job.retry_threshold)
+                    if job.retry_clock == "wave"
+                    else F.lit(float(clock()) + job.retry_threshold)
+                ).alias("retry_at"),
             )
         else:
             requeue = None

@@ -184,3 +184,30 @@ def test_copartitioned_partition_mismatch_raises(spark, seen):
     links = seen.limit(50)
     with pytest.raises(Exception, match="built with p=8"):
         bloom_flag_copartitioned(links, bloom, n_partitions=4).collect()
+
+
+def test_resolve_probe_mode_auto(spark, seen):
+    """'auto' picks by computed bank size: broadcast within the threshold,
+    copartition at north-star scale (10^10 keys ≈ 12 GB bank); explicit
+    modes pass through; junk raises. The size formula must match the
+    bytes a built bank actually holds."""
+    from doonop_spark.operators.bloom import (
+        bank_size_bytes,
+        resolve_probe_mode,
+    )
+
+    assert resolve_probe_mode("auto", 32, 1_000_000, 0.01) == "broadcast"
+    assert (
+        resolve_probe_mode("auto", 1024, 10_000_000_000 // 1024, 0.01)
+        == "copartition"
+    )
+    # pass-through regardless of size
+    assert resolve_probe_mode("broadcast", 1024, 10**10 // 1024, 0.01) == "broadcast"
+    assert resolve_probe_mode("copartition", 4, 10, 0.1) == "copartition"
+    with pytest.raises(ValueError, match="unknown bloom probe mode"):
+        resolve_probe_mode("bogus", 4, 10, 0.1)
+
+    bank = build_bloom(seen, n_partitions=4, expected_per_partition=500)
+    built = sum(len(r.bits) for r in bank.select("bits").collect())
+    # empty pids emit no row, so built ≤ formula; with 4 populated pids equal
+    assert built == bank_size_bytes(4, 500, 0.01)

@@ -113,6 +113,25 @@ def test_cli_scale_knobs_identical_output(fixture_corpus_path):
     assert knobs.stderr.endswith(
         "Statistics: visited 2, collected 2, errors 0, retries 0\n"
     ), knobs.stderr[-500:]
+    # --retry-clock wall + the reference's ms threshold (src/retry.rs):
+    # with no faults the schedule is identical — the flag must parse and
+    # the output stay byte-identical
+    wall = run_cli(
+        [
+            "--corpus",
+            fixture_corpus_path,
+            "--retry-clock",
+            "wall",
+            "--retry_threshold",
+            "5000",
+            "http://localhost:8000/basic/index.html",
+        ]
+    )
+    assert wall.returncode == 0
+    assert wall.stdout == plain.stdout
+    assert wall.stderr.endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0\n"
+    ), wall.stderr[-500:]
 
 
 def test_cli_robots_table_gates_links(fixture_corpus_path, spark, tmp_path):

@@ -448,7 +448,7 @@ def test_resume_with_compaction(spark, tmp_path):
     )
 
 
-@pytest.mark.parametrize("probe_mode", ["broadcast", "copartition"])
+@pytest.mark.parametrize("probe_mode", ["auto", "broadcast", "copartition"])
 def test_resume_with_bloom(spark, tmp_path, probe_mode):
     """Kill-and-resume with the bloom sidecar on (both probe modes): the
     bank is rebuilt from the checkpointed seen set at resume, so the

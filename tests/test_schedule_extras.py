@@ -47,6 +47,47 @@ def test_sitemap_expansion(spark):
     ]
 
 
+def test_seed_frontier_distributed_matches_driver_clean(spark, monkeypatch):
+    """The DataFrame seed path must reproduce seed_frontier(clean_seeds(...))
+    exactly — same urls, same sorted-rank seq — at any input partitioning,
+    WITHOUT ever collecting the seed set to the driver (every collect
+    during the build is the tiny per-partition-count agg)."""
+    from doonop_spark.operators.filters import RegexFilter, clean_seeds
+    from doonop_spark.sources.seeds import seed_frontier, seed_frontier_distributed
+
+    n = 5_000
+    extra = spark.range(n).select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod(F.col("id") * 2654435761, F.lit(37)).cast("string"),
+            F.lit(".example/sitemap/"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    ).repartition(13)
+    # second CLI seed exactly duplicates extra id=0 (pmod(0,37)=0 → h0)
+    cli = ["http://z.example/", "http://h0.example/sitemap/0"]
+    filters = [RegexFilter(r"/sitemap/33\d$")]
+
+    collected_sizes = []
+    from pyspark.sql import DataFrame
+
+    real_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (r := real_collect(self), collected_sizes.append(len(r)))[0]
+    )
+    dist = seed_frontier_distributed(spark, clean_seeds(cli, filters), extra, "parity", filters)
+    got = real_collect(dist.orderBy("seq"))
+    assert all(s <= spark.sparkContext.defaultParallelism for s in collected_sizes)
+
+    raw = [r.url for r in real_collect(extra)]
+    expect = real_collect(
+        seed_frontier(spark, clean_seeds(cli + raw, filters), "parity").orderBy("seq")
+    )
+    assert [(r.url, r.seq, r.url_hash, r.host) for r in got] == [
+        (r.url, r.seq, r.url_hash, r.host) for r in expect
+    ]
+
+
 def test_cancel_drains_and_resumes(spark, tmp_path):
     """X3: cancel after the first wave ≈ ctrl-c — partial results kept,
     checkpoint resumable to the identical final state."""

@@ -99,3 +99,19 @@ def test_ivf_recall_vs_brute_force(spark, emb, queries):
     full = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8)
     f = {(r.query_id, r.neighbor_id) for r in full.collect()}
     assert f == e
+
+
+def test_ivf_centroids_stable_under_repartitioning(spark, emb, queries):
+    """The approximate mode (n_probe < n_lists) must be content-determined:
+    the hash-ordered training sample makes centroids — hence results —
+    identical no matter how the input happens to be partitioned (a raw
+    ``.limit`` sample would drift with partition order / AQE)."""
+
+    def run(corpus):
+        rows = ivf_topk(corpus, queries, k=10, n_lists=8, n_probe=2).collect()
+        return sorted((r.query_id, r.rank, r.neighbor_id) for r in rows)
+
+    base = run(emb)
+    assert run(emb.repartition(17)) == base
+    assert run(emb.repartition(3, "vec_id")) == base
+    assert run(emb.coalesce(1)) == base
