@@ -28,6 +28,10 @@ __all__ = [
     "MEDIA_SCHEMA",
     "fake_decode",
     "strict_decode",
+    "netpbm_decode",
+    "bmp_decode",
+    "auto_decode",
+    "encode_ppm",
     "decode_media",
     "extract_features",
     "sample_frames",
@@ -48,6 +52,84 @@ def strict_decode(payload: bytes, mime: str) -> np.ndarray:
         " decoder= callable backed by one, or use fake_decode for plumbing"
         " tests"
     )
+
+
+def netpbm_decode(payload: bytes, mime: str = "") -> np.ndarray:
+    """REAL pure-numpy decoder for binary Netpbm images — P5 (grayscale)
+    and P6 (RGB), maxval ≤ 255. Exercises the decode slot with real bytes
+    (the only raster formats decodable without a codec library). Returns
+    float32 in [0, 1], shape (h, w) for P5 / (h, w, 3) for P6."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        raise ValueError("not a binary Netpbm (P5/P6) payload")
+    magic = payload[:2].decode()
+    # header: magic, width, height, maxval — whitespace-separated with
+    # '#'-comment lines allowed anywhere between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated Netpbm header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported Netpbm maxval {maxval}")
+    channels = 3 if magic == "P6" else 1
+    need = w * h * channels
+    if len(payload) - pos < need:
+        raise ValueError("truncated Netpbm raster")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    arr = raster.astype(np.float32) / float(maxval)
+    return arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
+
+
+def bmp_decode(payload: bytes, mime: str = "") -> np.ndarray:
+    """REAL pure-numpy decoder for uncompressed 24-bit BMP (BI_RGB).
+    Returns float32 (h, w, 3) RGB in [0, 1] (rows un-flipped from BMP's
+    bottom-up storage, BGR → RGB)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4 bytes
+    raster = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1].astype(np.float32) / 255.0  # BGR → RGB
+
+
+def auto_decode(payload: bytes, mime: str = "") -> np.ndarray:
+    """Magic-byte dispatch over the REAL decoders; anything else raises
+    like strict_decode (honest: no other codec exists here)."""
+    if payload[:2] in (b"P5", b"P6"):
+        return netpbm_decode(payload, mime)
+    if payload[:2] == b"BM":
+        return bmp_decode(payload, mime)
+    return strict_decode(payload, mime)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """float [0,1] (h, w, 3) → binary P6 bytes (test-fixture generator;
+    exact inverse of netpbm_decode for maxval 255)."""
+    h, w = arr.shape[:2]
+    raster = np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + raster.tobytes()
 
 
 def fake_decode(payload: bytes, mime: str) -> np.ndarray:

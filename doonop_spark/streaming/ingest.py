@@ -103,7 +103,9 @@ def stream_discovered_links(pages: DataFrame) -> DataFrame:
 
     return (
         stream_extract(pages)
-        .select(F.explode("out_links").alias("url"))
+        # warc_ts rides along as the sighting's EVENT time (the page's
+        # capture stamp) so downstream state can expire on event time
+        .select("warc_ts", F.explode("out_links").alias("url"))
         .withColumn("host", host_expr(F.col("url")))
         .withColumn("url_hash", url_hash_col(F.col("url")))
     )
@@ -125,6 +127,9 @@ def stream_first_sightings(
     links: DataFrame,
     state_ttl_ms: int | None = None,
     max_hashes_per_host: int | None = None,
+    event_time_col: str | None = None,
+    event_time_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): emit each
     link the FIRST time its host group ever sees it, across micro-batches.
@@ -147,6 +152,15 @@ def stream_first_sightings(
     - ``max_hashes_per_host``: hard cap with oldest-first eviction (None =
       uncapped). An evicted hash may re-emit; the cap bounds worst-case
       state for one pathological host.
+    - ``event_time_ttl_ms`` (+ ``event_time_col``, e.g. ``warc_ts`` from
+      :func:`stream_discovered_links`): EVENT-time expiry — a host whose
+      last sighting's event time falls ``event_time_ttl_ms`` behind the
+      stream's watermark (``withWatermark(event_time_col,
+      watermark_delay)`` is applied here) has its state dropped. Unlike
+      the processing-time TTL this is replay-safe AND terminates under
+      ``availableNow``: the watermark advances with the replayed data
+      itself, so bounded state works for batch-style re-processing too.
+      Mutually exclusive with ``state_ttl_ms``.
 
     The state array is appended in arrival order — never re-sorted — so an
     unchanged batch rewrites nothing and a changed one pays O(new keys).
@@ -158,6 +172,11 @@ def stream_first_sightings(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if state_ttl_ms is not None and event_time_ttl_ms is not None:
+        raise ValueError("state_ttl_ms and event_time_ttl_ms are mutually exclusive")
+    if event_time_ttl_ms is not None and not event_time_col:
+        raise ValueError("event_time_ttl_ms needs event_time_col")
+
     def dedup(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
@@ -166,9 +185,14 @@ def stream_first_sightings(
         seen = set(kept)
         host = key[0]
         changed = False
+        last_event_ms = None
         for pdf in pdfs:
             if pdf.empty:
                 continue
+            if event_time_ttl_ms is not None:
+                m = pdf[event_time_col].max()
+                ms = int(m.value // 1_000_000)  # pandas Timestamp → epoch ms
+                last_event_ms = ms if last_event_ms is None else max(last_event_ms, ms)
             fresh = pdf[~pdf["url_hash"].isin(list(seen))].drop_duplicates(
                 subset=["url_hash"]
             )
@@ -185,17 +209,26 @@ def stream_first_sightings(
             state.update((kept,))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
+        elif event_time_ttl_ms is not None and last_event_ms is not None:
+            # expire when the watermark passes last sighting + TTL; Spark
+            # requires the stamp to sit beyond the current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_event_ms + event_time_ttl_ms, wm + 1))
+
+    if event_time_ttl_ms is not None:
+        links = links.withWatermark(event_time_col, watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif state_ttl_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
 
     return links.groupBy("host").applyInPandasWithState(
         dedup,
         outputStructType=_SIGHTING_OUT,
         stateStructType=_SIGHTING_STATE,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if state_ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=timeout,
     )
 
 

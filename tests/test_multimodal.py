@@ -76,3 +76,114 @@ def test_sample_frames_zero_duration_yields_nothing(spark):
         "width int, height int, duration_ms int",
     )
     assert sample_frames(media, every_ms=1000).count() == 0
+
+
+def test_netpbm_decode_real_bytes_golden():
+    """Real codec golden: a hand-built 2x3 P6 with known pixels decodes to
+    exactly those values; encode_ppm round-trips; comments and P5 work;
+    malformed inputs raise."""
+    import numpy as np
+
+    from doonop_spark.functions.multimodal import (
+        bmp_decode,
+        encode_ppm,
+        netpbm_decode,
+    )
+
+    img = np.array(
+        [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+         [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.5019608, 0.5019608, 0.5019608]]],
+        dtype=np.float32,
+    )
+    payload = encode_ppm(img)
+    out = netpbm_decode(payload)
+    assert out.shape == (2, 3, 3)
+    assert np.allclose(out, img)
+
+    # header comments are legal anywhere between tokens
+    commented = b"P6\n# made by hand\n3 2\n# maxval next\n255\n" + payload.split(b"255\n", 1)[1]
+    assert np.allclose(netpbm_decode(commented), img)
+
+    # P5 grayscale
+    p5 = b"P5\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    g = netpbm_decode(p5)
+    assert g.shape == (2, 2)
+    assert np.allclose(g, np.array([[0, 64], [128, 255]]) / 255.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Netpbm"):
+        netpbm_decode(b"P6\n3 2\n255\n\x00\x01")  # truncated raster
+    with _pytest.raises(ValueError):
+        netpbm_decode(b"JUNK")
+    with _pytest.raises(ValueError):
+        bmp_decode(b"JUNK")
+
+
+def test_bmp_decode_real_bytes_golden():
+    """Hand-assembled 2x2 24-bit BMP (bottom-up, padded rows) decodes to
+    the intended RGB values."""
+    import numpy as np
+
+    from doonop_spark.functions.multimodal import bmp_decode
+
+    # pixels (top-down, RGB): (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    # BMP stores bottom-up BGR with rows padded to 4 bytes (2*3=6 → pad 2)
+    row_bottom = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"  # (0,0,255),(255,255,255)
+    row_top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"  # (255,0,0),(0,255,0)
+    raster = row_bottom + row_top
+    header = (
+        b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    out = bmp_decode(header + raster)
+    assert out.shape == (2, 2, 3)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.float32
+    ) / 255.0
+    assert np.allclose(out, expect)
+
+
+def test_decode_media_with_real_codec(spark):
+    """The mapInPandas plumbing driven by REAL image bytes end-to-end:
+    auto_decode routes P6/BMP payloads to the real decoders, non-image
+    payloads surface as error rows (strict semantics)."""
+    import numpy as np
+
+    from doonop_spark.functions.multimodal import (
+        auto_decode,
+        decode_media,
+        encode_ppm,
+        extract_features,
+    )
+
+    img = np.linspace(0, 1, 2 * 4 * 3, dtype=np.float32).reshape(2, 4, 3)
+    rows = [
+        (1, "image", bytearray(encode_ppm(img)), "image/x-portable-pixmap", 4, 2, 0),
+        (2, "image", bytearray(b"not an image"), "application/octet-stream", 0, 0, 0),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    got = {r.media_id: r for r in decode_media(media, decoder=auto_decode).collect()}
+    assert got[1].shape == [2, 4, 3]
+    decoded = np.round(img * 255) / 255.0
+    assert abs(got[1].mean - float(decoded.mean())) < 1e-6
+    assert got[1].error is None
+    assert got[2].shape is None and "codec" in got[2].error
+
+    feats = {
+        r.media_id: r.features
+        for r in extract_features(media.filter("media_id = 1"), dim=8, decoder=auto_decode).collect()
+    }
+    assert np.allclose(feats[1], decoded.ravel()[:8])

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from doonop_spark.sources.corpus import synthetic_corpus
 from doonop_spark.streaming.ingest import (
+    PAGES_SCHEMA,
     run_ingest_once,
     stream_discovered_links,
     stream_first_sightings,
@@ -192,3 +193,99 @@ def test_first_sightings_ttl_expires_and_reemits(spark, tmp_path):
         assert first is not None and n > first, (first, n)
     finally:
         q.stop()
+
+
+def _pages_with_ts(spark, rows):
+    """rows: (url, links, ts_str) → PAGES_SCHEMA frame with controlled
+    event times (warc_ts) for watermark-driven tests."""
+    df = spark.createDataFrame(rows, "url string, links array<string>, ts string")
+    anchors = F.array_join(
+        F.transform("links", lambda l: F.concat(F.lit('<a href="'), l, F.lit('">x</a>'))),
+        "",
+    )
+    return df.select(
+        "url",
+        F.to_timestamp("ts").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), anchors, F.lit("<main>t</main></body></html>")),
+            "utf-8",
+        ).alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def test_first_sightings_event_time_ttl_availablenow_replay(spark, tmp_path):
+    """EVENT-time TTL: state expires when the watermark (carried by the
+    replayed data itself) passes last-sighting + TTL — so bounded state
+    works under availableNow batch replays, where the processing-time TTL
+    would never terminate. Four sequential availableNow runs over one
+    checkpoint: emit → watermark advances → host expires → same link
+    re-emits; every run TERMINATES."""
+    pages_dir = str(tmp_path / "pages_evttl")
+    out_dir = str(tmp_path / "out_evttl")
+    ckpt = str(tmp_path / "ckpt_evttl")
+    link = "http://a.example/dup"
+
+    def run_once():
+        pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        q = (
+            stream_first_sightings(
+                stream_discovered_links(pages),
+                event_time_col="warc_ts",
+                event_time_ttl_ms=10 * 60 * 1000,  # 10 min of event time
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        assert q.awaitTermination(180), "availableNow run did not terminate"
+
+    def emits():
+        import glob
+
+        if not glob.glob(out_dir + "/*.parquet"):
+            return []
+        return [r.url for r in spark.read.parquet(out_dir).collect()]
+
+    # run 1: host a sights the link at T0
+    _pages_with_ts(
+        spark, [("http://a.example/p1", [link], "2024-01-01 00:00:00")]
+    ).write.mode("append").parquet(pages_dir)
+    run_once()
+    assert emits().count(link) == 1
+
+    # run 2: unrelated host advances the watermark past T0 + TTL
+    _pages_with_ts(
+        spark, [("http://b.example/p1", ["http://b.example/l1"], "2024-01-01 01:00:00")]
+    ).write.mode("append").parquet(pages_dir)
+    run_once()
+    # run 3: next batch fires host a's event-time timeout (a has no data)
+    _pages_with_ts(
+        spark, [("http://b.example/p2", ["http://b.example/l2"], "2024-01-01 02:00:00")]
+    ).write.mode("append").parquet(pages_dir)
+    run_once()
+    assert emits().count(link) == 1  # still deduped so far
+
+    # run 4: the SAME link re-lands after expiry → re-emits (recall trade)
+    _pages_with_ts(
+        spark, [("http://a.example/p2", [link], "2024-01-01 02:30:00")]
+    ).write.mode("append").parquet(pages_dir)
+    run_once()
+    assert emits().count(link) == 2
+
+
+def test_first_sightings_ttl_modes_mutually_exclusive(spark):
+    import pytest as _pytest
+
+    links = spark.createDataFrame(
+        [], "warc_ts timestamp, url string, host string, url_hash long"
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        stream_first_sightings(links, state_ttl_ms=1, event_time_ttl_ms=1,
+                               event_time_col="warc_ts")
+    with _pytest.raises(ValueError, match="needs event_time_col"):
+        stream_first_sightings(links, event_time_ttl_ms=1)
