@@ -69,17 +69,180 @@ def session(cores: int) -> SparkSession:
     return s
 
 
-def ensure_corpus(spark: SparkSession, path: str, n_pages: int) -> None:
+def session_cluster(n_exec: int, cores_per_exec: int, mem_mb: int = 3072) -> SparkSession:
+    """`local-cluster[n, c, mem]` — REAL separate executor JVM processes
+    (plus a standalone-style master in the driver JVM): the in-sandbox
+    analog of an N-executor cluster, unlike local[*] where all "executors"
+    share one JVM's GC/block manager/shuffle. Used to evidence the north
+    rule's two-cluster-size criterion with genuinely separate JVMs."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    s = (
+        SparkSession.builder.master(f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]")
+        .appName(f"doonop_bench_cluster_{n_exec}x{cores_per_exec}")
+        .config("spark.executor.memory", f"{mem_mb}m")
+        # executor python workers are spawned from $SPARK_HOME, not the
+        # driver venv cwd — they need the repo on their own PYTHONPATH to
+        # unpickle doonop_spark UDFs (local[*] never hits this: one JVM,
+        # driver-inherited workers)
+        .config("spark.executorEnv.PYTHONPATH", repo)
+        .config("spark.sql.shuffle.partitions", str(n_exec * cores_per_exec))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def measure_level_cluster(
+    n_exec: int, cores_per_exec: int, corpus_path: str
+) -> list[float]:
+    """measure_level under local-cluster: same protocol (2 warmups +
+    SCALE_RUNS samples over a persisted corpus), executors in separate
+    JVM processes. The corpus must already exist (built by a local[] run
+    first — generation is excluded from timing either way)."""
+    from pyspark import StorageLevel
+
+    spark = session_cluster(n_exec, cores_per_exec)
+    # DISK_ONLY: the corpus is pre-materialized per executor like the
+    # local-mode .persist(), but caching ~GBs of pages into a single
+    # fixed-size executor heap (the n_exec=1 level) would OOM — executor
+    # sizes stay FIXED across levels for a fair scaling comparison (real
+    # clusters scale executor count, not size), and local-disk blocks sit
+    # in the OS page cache anyway
+    corpus = spark.read.parquet(corpus_path).persist(StorageLevel.DISK_ONLY)
+    corpus.count()
+    for _ in range(2):
+        frontier_throughput(spark, corpus, SCALE_PAGES)
+    runs = [frontier_throughput(spark, corpus, SCALE_PAGES) for _ in range(SCALE_RUNS)]
+    spark.stop()
+    return runs
+
+
+def cluster_scaling() -> None:
+    """The north-rule scaling protocol with REAL separate executor JVMs:
+    1 vs 4 executors × 2 cores (N=2 → 4N=8 cores) — the pair a real
+    cluster would scale — plus 16 executors × 2 cores (32 cores) to test
+    whether the single-JVM 8→32 knee persists when JVMs are separate.
+    Each level runs in its own OS process. Prints one JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import subprocess
+
+    tmp_scale = os.path.join(
+        tempfile.gettempdir(), f"doonop_bench_corpus_{SCALE_PAGES}"
+    )
+    if not os.path.exists(os.path.join(tmp_scale, "_SUCCESS")):
+        spark = session(CPUS)
+        ensure_corpus(spark, tmp_scale, SCALE_PAGES)
+        spark.stop()
+
+    levels = [(1, 2), (4, 2), (16, 2)]
+    ups: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    for n_exec, cpe in levels:
+        if n_exec * cpe > CPUS:
+            continue
+        out = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--scale-cluster", str(n_exec), str(cpe), tmp_scale,
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        runs = json.loads(out.stdout.strip().splitlines()[-1])
+        key = f"exec{n_exec}x{cpe}"
+        spreads[key] = [round(r, 1) for r in runs]
+        ups[key] = max(runs)
+
+    eff_1_4 = (ups["exec4x2"] / ups["exec1x2"]) / 4
+    result = {
+        "mode": "local-cluster (separate executor JVMs)",
+        "scale_pages": SCALE_PAGES,
+        "urls_per_sec": {k: round(v, 1) for k, v in ups.items()},
+        "urls_per_sec_runs": spreads,
+        "urls_per_sec_median": {
+            k: round(statistics.median(v), 1) for k, v in spreads.items()
+        },
+        "scaling_efficiency_1_to_4_executors": round(eff_1_4, 3),
+        "scaling_efficiency_1_to_4_executors_median": round(
+            (statistics.median(spreads["exec4x2"]) / statistics.median(spreads["exec1x2"])) / 4, 3
+        ),
+    }
+    if "exec16x2" in ups:
+        result["scaling_efficiency_4_to_16_executors"] = round(
+            (ups["exec16x2"] / ups["exec4x2"]) / 4, 3
+        )
+        result["scaling_efficiency_4_to_16_executors_median"] = round(
+            (statistics.median(spreads["exec16x2"]) / statistics.median(spreads["exec4x2"])) / 4, 3
+        )
+    print(json.dumps(result))
+
+
+def ensure_corpus(
+    spark: SparkSession, path: str, n_pages: int, hot_share: float = 0.3
+) -> None:
     """Materialize a bench corpus once (generation excluded from timing)."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
     from doonop_spark.sources.corpus import synthetic_corpus
 
     corpus = synthetic_corpus(
-        spark, n_hosts=N_HOSTS, n_pages=n_pages, partitions=CPUS * 2,
+        spark, n_hosts=N_HOSTS, n_pages=n_pages, hot_share=hot_share,
+        partitions=CPUS * 2,
         filler_words=150,  # ~1 KB bodies: extract stage is CPU-bound
     )
     corpus.write.mode("overwrite").parquet(path)
+
+
+def skew_stress() -> None:
+    """Skew stress with politeness OFF (the r3 bench found politeness
+    accidentally the best skew mitigation — this measures the PLAIN path's
+    exposure): an 80%-hot-host corpus crawled with and without hot-host
+    salting, against the standard 30% corpus. The salting gate
+    (plans/loop.py: wave > salt_target_rows) engages on the hot corpus's
+    peak BFS waves; salt_target_rows=0 disables it for the A/B.
+    Prints one JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    spark = session(CPUS)
+    tmp_bal = os.path.join(tempfile.gettempdir(), f"doonop_bench_corpus_{N_PAGES}")
+    tmp_hot = os.path.join(
+        tempfile.gettempdir(), f"doonop_bench_corpus_hot80_{N_PAGES}"
+    )
+    ensure_corpus(spark, tmp_bal, N_PAGES)
+    ensure_corpus(spark, tmp_hot, N_PAGES, hot_share=0.8)
+    # salt target sized to bind on the hot corpus's peak waves at this SF
+    salt_target = max(N_PAGES // 16, 1_000)
+    out: dict[str, dict] = {}
+    for name, path, salt in (
+        ("balanced_salted", tmp_bal, salt_target),
+        ("hot80_salted", tmp_hot, salt_target),
+        ("hot80_unsalted", tmp_hot, 0),
+    ):
+        s, v = bfs_crawl_seconds(spark, path, salt_target_rows=salt)
+        out[name] = {"sec": round(s, 1), "urls_per_sec": round(v / s, 1), "visited": v}
+    assert out["hot80_salted"]["visited"] == out["hot80_unsalted"]["visited"]
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "mode": "skew_stress (politeness OFF)",
+                "n_pages": N_PAGES,
+                "cpus": CPUS,
+                "salt_target_rows": salt_target,
+                "variants": out,
+                "salting_speedup_on_hot80": round(
+                    out["hot80_unsalted"]["sec"] / out["hot80_salted"]["sec"], 3
+                ),
+            }
+        )
+    )
 
 
 def frontier_throughput(spark: SparkSession, corpus, n_pages: int) -> float:
@@ -142,6 +305,8 @@ def bfs_crawl_seconds(
     bloom_partitions: int = 0,
     bloom_probe_mode: str = "broadcast",
     politeness: bool = False,
+    salt_target_rows: int = 50_000,
+    n_pages: int | None = None,
 ) -> tuple[float, int]:
     """Full iterative BFS crawl wall time on a reduced corpus (the loop
     includes per-wave materialization overhead). ``corpus_buckets``/
@@ -156,15 +321,16 @@ def bfs_crawl_seconds(
 
     corpus = spark.read.parquet(corpus_path)
     seeds = [f"http://h{h:04d}.example/p0" for h in range(N_HOSTS)]
+    n_pages = n_pages or N_PAGES
     job = CrawlJob(
         seeds=seeds,
         engines=None,
         per_host_budget=10_000_000,
-        salt_target_rows=50_000,
+        salt_target_rows=salt_target_rows,
         corpus_buckets=corpus_buckets,
         bloom_partitions=bloom_partitions,
         bloom_probe_mode=bloom_probe_mode,
-        bloom_expected_per_partition=max(N_PAGES // max(bloom_partitions, 1), 1024),
+        bloom_expected_per_partition=max(n_pages // max(bloom_partitions, 1), 1024),
         use_robots=politeness,
     )
     robots = None
@@ -173,7 +339,7 @@ def bfs_crawl_seconds(
 
         # budget = floor(wave_seconds / delay) = 15% of the corpus per wave
         # for the hot host (which owns 30%): binds at the BFS peak waves
-        delay = job.wave_seconds / max(int(N_PAGES * 0.15), 1)
+        delay = job.wave_seconds / max(int(n_pages * 0.15), 1)
         robots = synthetic_robots(spark, n_hosts=N_HOSTS, crawl_delay={0: delay})
     t0 = time.monotonic()
     res = run_crawl(spark, job, corpus, robots=robots)
@@ -375,6 +541,17 @@ if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--scale":
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         print(json.dumps(measure_level(int(sys.argv[2]), sys.argv[3])))
+    elif len(sys.argv) >= 5 and sys.argv[1] == "--scale-cluster":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        print(
+            json.dumps(
+                measure_level_cluster(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+            )
+        )
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--cluster":
+        cluster_scaling()
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--skew":
+        skew_stress()
     elif len(sys.argv) >= 2 and sys.argv[1] == "--crawl-only":
         crawl_only()
     else:

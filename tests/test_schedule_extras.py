@@ -162,3 +162,65 @@ def test_check_url_program(spark):
     job = CrawlJob(seeds=["http://h0000.example/p0"], engines=1, check="url")
     res = run_crawl(spark, job, corpus)
     assert all(r.data == r.url for r in res.results.collect())
+
+
+def test_salt_for_skew_spreads_hot_host(spark):
+    """X1: a wave where one host owns 80% of rows must NOT serialize the
+    extract stage — after salting the hot host's rows span multiple
+    partitions (ceil(count/target) salts), while tiny hosts stay at one
+    shard each; row multiset is unchanged."""
+    from doonop_spark.operators.schedule import salt_for_skew
+
+    n = 10_000
+    wave = spark.range(n).select(
+        F.concat(F.lit("http://u"), F.col("id")).alias("url"),
+        F.concat(F.lit("http://u"), F.col("id")).alias("ukey"),
+        F.xxhash64(F.concat(F.lit("http://u"), F.col("id"))).alias("url_hash"),
+        F.when(F.col("id") % 10 < 8, "hot.example")
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 10).cast("string"), F.lit(".example")))
+        .alias("host"),
+    )
+    salted = salt_for_skew(wave, target_rows=1_000)
+    spread = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("host")
+        .agg(F.countDistinct("pid").alias("parts"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_host = {r.host: r for r in spread}
+    # hot host: 8000 rows / 1000 target = 8 salts → >1 partition
+    assert by_host["hot.example"].parts >= 4, by_host["hot.example"]
+    assert by_host["hot.example"].n == 8_000
+    assert sorted(r.url for r in salted.collect()) == sorted(r.url for r in wave.collect())
+
+
+def test_crawl_loop_salts_at_threshold(spark, monkeypatch):
+    """The loop engages salt_for_skew exactly when a wave exceeds
+    salt_target_rows (plans/loop.py gate) — spied through the module
+    symbol the loop calls."""
+    import doonop_spark.plans.loop as loopmod
+    from doonop_spark.operators.schedule import salt_for_skew as real_salt
+
+    calls = []
+
+    def spy(wave, target_rows):
+        calls.append(target_rows)
+        return real_salt(wave, target_rows)
+
+    monkeypatch.setattr(loopmod, "salt_for_skew", spy)
+
+    corpus = synthetic_corpus(spark, n_hosts=3, n_pages=400, hot_share=0.8)
+    seeds = [f"http://h{h:04d}.example/p0" for h in range(3)]
+
+    # threshold far above every wave: never engages
+    job = CrawlJob(seeds=seeds, engines=None, per_host_budget=10**9,
+                   salt_target_rows=100_000)
+    run_crawl(spark, job, corpus)
+    assert calls == []
+
+    # threshold below the BFS peak waves: engages on the big waves only
+    job = CrawlJob(seeds=seeds, engines=None, per_host_budget=10**9,
+                   salt_target_rows=20)
+    res = run_crawl(spark, job, corpus)
+    assert len(calls) > 0 and all(t == 20 for t in calls)
+    assert res.stats.count_visited == 400
