@@ -501,6 +501,45 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode with the REAL Netpbm codec (functions/multimodal.py
+    netpbm_decode — pure numpy, no codec library): each document becomes a
+    4x2 P6 image whose 24 raster bytes are the deterministic sequence
+    (doc_id*37 + i*11) % 256, assembled entirely JVM-side (hex string →
+    unhex → concat with the P6 header). pixel_sum = round(mean·24·255)
+    recovers the exact integer byte sum, so DuckDB replays it with plain
+    arithmetic — the real decoder is exact-oracled, not just the fake."""
+    from doonop_spark.functions.multimodal import auto_decode, decode_media
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    raster_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda k: F.lpad(F.hex(F.pmod(i * 37 + k * 11, F.lit(256))), 2, "0"),
+        ),
+        "",
+    )
+    media = docs.select(
+        i.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(F.encode(F.lit("P6\n4 2\n255\n"), "utf-8"), F.unhex(raster_hex)).alias(
+            "payload"
+        ),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(2).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+    return decode_media(media, decoder=auto_decode).select(
+        "media_id",
+        F.round(F.col("mean") * (24 * 255)).cast("long").alias("pixel_sum"),
+        F.col("shape")[0].alias("frame_h"),
+        F.col("shape")[1].alias("frame_w"),
+        F.col("shape")[2].alias("frame_c"),
+    )
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 with the partitioned bloom sidecar: candidates cleared by the
     bloom as definitely-new skip the exact anti-join; output must equal
@@ -722,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "frame_sampling": q_frame_sampling,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_decode_real": q_multimodal_decode_real,
         "bloom_dedup": q_bloom_dedup,
         "bloom_dedup_copart": q_bloom_dedup_copart,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1368,6 +1408,18 @@ def oracle_sql() -> dict[str, str]:
                    )) AS BIGINT) AS pixel_sum,
                    CAST(8 AS INT) AS frame_h, CAST(8 AS INT) AS frame_w
             FROM d
+        """,
+        # REAL Netpbm codec oracle: the 24 raster bytes are (doc_id*37 +
+        # i*11) % 256 by construction, so the decoded frame's pixel sum is
+        # plain integer arithmetic — no blob handling needed
+        "multimodal_decode_real": """
+            SELECT doc_id AS media_id,
+                   CAST(list_sum(list_transform(generate_series(0, 23), i ->
+                        (doc_id * 37 + i * 11) % 256)) AS BIGINT) AS pixel_sum,
+                   CAST(2 AS INT) AS frame_h,
+                   CAST(4 AS INT) AS frame_w,
+                   CAST(3 AS INT) AS frame_c
+            FROM documents
         """,
         "surt_key": """
             SELECT doc_id,
