@@ -85,6 +85,9 @@ def session_cluster(n_exec: int, cores_per_exec: int, mem_mb: int = 3072) -> Spa
         # unpickle doonop_spark UDFs (local[*] never hits this: one JVM,
         # driver-inherited workers)
         .config("spark.executorEnv.PYTHONPATH", repo)
+        # pin worker python to the driver's interpreter (executors resolve
+        # python3 from their own environment otherwise)
+        .config("spark.pyspark.python", sys.executable)
         .config("spark.sql.shuffle.partitions", str(n_exec * cores_per_exec))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -147,15 +150,32 @@ def cluster_scaling() -> None:
     for n_exec, cpe in levels:
         if n_exec * cpe > CPUS:
             continue
-        out = subprocess.run(
-            [
-                sys.executable, os.path.abspath(__file__),
-                "--scale-cluster", str(n_exec), str(cpe), tmp_scale,
-            ],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
+        # watchdog + one retry: a rare executor-side hang (task thread
+        # blocked forever in BasePythonRunner reading a dead python
+        # worker; observed twice across rounds) would otherwise stall the
+        # whole protocol — kill the level and rerun it once
+        for attempt in (0, 1):
+            try:
+                out = subprocess.run(
+                    [
+                        sys.executable, os.path.abspath(__file__),
+                        "--scale-cluster", str(n_exec), str(cpe), tmp_scale,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                    timeout=1800,
+                )
+                break
+            except subprocess.TimeoutExpired:
+                # reap orphaned executor JVMs of the killed level (the
+                # bench is this host's only local-cluster user)
+                subprocess.run(
+                    ["pkill", "-9", "-f", "CoarseGrainedExecutorBackend"],
+                    capture_output=True,
+                )
+                if attempt:
+                    raise
         runs = json.loads(out.stdout.strip().splitlines()[-1])
         key = f"exec{n_exec}x{cpe}"
         spreads[key] = [round(r, 1) for r in runs]
