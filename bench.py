@@ -325,7 +325,7 @@ def bfs_crawl_seconds(
     bloom_partitions: int = 0,
     bloom_probe_mode: str = "broadcast",
     politeness: bool = False,
-    salt_target_rows: int = 50_000,
+    salt_target_rows: int = 0,
     n_pages: int | None = None,
 ) -> tuple[float, int]:
     """Full iterative BFS crawl wall time on a reduced corpus (the loop
@@ -480,6 +480,7 @@ def main() -> None:
         "winnow_fingerprint",
         "dataset_split",
         "pack_sequences",
+        "multimodal_decode_real",
         "lifo_schedule",
         "seen_anti_join",
         "politeness_topk",

@@ -168,7 +168,18 @@ class CrawlJob:
     # --- scale knobs (north_star extensions; no reference analog) ---
     per_host_budget: int | None = None  # max URLs per host per wave
     wave_seconds: float = 30.0  # politeness: budget = wave_seconds/crawl_delay
-    salt_target_rows: int = 50_000  # repartition target per (host,salt) shard
+    # X1 hot-host salting: repartition the gated wave by (host, salt)
+    # before the fetch when a wave exceeds this row count; 0 (default) =
+    # OFF. Measured OFF-by-default for a reason: every fetch path already
+    # balances the extract stage itself (the plain and bucketed joins
+    # shuffle by url hash; the broadcast path streams corpus partitions),
+    # so the salt shuffle adds cost without balancing anything — an
+    # 80%-hot-host corpus at sf0.1 crawled 26% FASTER unsalted (bench
+    # --skew: 40.8 s vs 51.4 s). This is the Spark analog of the
+    # reference's shared-URL-channel load balance (src/workload.rs:85-86)
+    # coming for free from the url-keyed shuffle. Set >0 only for custom
+    # data_expr pipelines that group by host downstream of the fetch.
+    salt_target_rows: int = 0
     # waves at or below this row count broadcast into the corpus join
     # (corpus probed in place, no shuffle). DISABLED by default: A/B runs
     # showed AQE's runtime SortMergeJoin→BroadcastHashJoin conversion

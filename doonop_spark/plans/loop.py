@@ -394,8 +394,12 @@ def run_crawl(
         waves_run += 1
 
         gated = robots_gate(wave, robots, job.robot, job.use_robots)
-        # salting is itself a shuffle — only worth it when the wave is big
-        # enough for hot-host skew to serialize the extract stage
+        # X1 salting is opt-in (salt_target_rows=0 default): every fetch
+        # path below already balances the extract stage via its own
+        # url-keyed shuffle / corpus-partition streaming, so salting here
+        # is measured pure overhead (bench --skew: 26% slower on an
+        # 80%-hot corpus); the knob remains for custom data_expr
+        # pipelines that host-group downstream of the fetch
         if job.salt_target_rows and n_sched > job.salt_target_rows:
             gated = salt_for_skew(gated, job.salt_target_rows)
 
