@@ -74,6 +74,51 @@ def _budget_window(cand: DataFrame, order, per_host_budget, default_budget) -> D
     )
 
 
+def _budget_window_two_phase(
+    cand: DataFrame, order, per_host_budget, default_budget, n_shards: int | None = None
+) -> DataFrame:
+    """Scale variant of :func:`_budget_window` for skewed frontiers.
+
+    The single-window form puts ALL of a host's candidate rows into ONE
+    task (``Window.partitionBy("host")``) — the one place in this engine
+    where host skew genuinely serializes work at 100 TB: a hot host with
+    10^7 pending rows means one task sorting 10^7 rows while every other
+    core idles. (The fetch/extract stages are immune — their url-keyed
+    shuffles balance by construction; measured in ``bench.py --skew``.)
+
+    Two phases, exact same output: phase 1 takes the per-(host, salt)
+    top-budget over ``n_shards`` hash shards — bounded parallel sorts of
+    ~rows/S each; phase 2 takes the true per-host top-budget over the
+    ≤ S·budget survivors. Correct because the global per-host top-k under
+    a total order is contained in the union of per-shard top-ks (ours is
+    total: priority, retry_at, seq — seq is unique)."""
+    spark = cand.sparkSession
+    shards = n_shards or max(spark.sparkContext.defaultParallelism, 1)
+    if per_host_budget is not None:
+        b = F.broadcast(
+            per_host_budget.select(
+                F.col("host").alias("__bhost"), F.col("budget").alias("__budget")
+            )
+        )
+        cand = cand.join(b, cand["host"] == F.col("__bhost"), "left").drop("__bhost")
+        budget = F.coalesce(F.col("__budget"), F.lit(default_budget or 2**31 - 1))
+    else:
+        budget = F.lit(default_budget)
+    salt = F.pmod(F.col("url_hash"), F.lit(shards))
+    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+    cand = (
+        cand.withColumn("__rn1", F.row_number().over(w1))
+        .filter((F.col("__rn1") <= budget) | F.col("host").isNull())
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        cand.withColumn("__rn", F.row_number().over(w2))
+        .filter((F.col("__rn") <= budget) | F.col("host").isNull())
+        .drop("__rn", "__budget")
+    )
+
+
 def _budget_pandas(
     cand: DataFrame, policy: RetryPolicy, per_host_budget, default_budget
 ) -> DataFrame:
@@ -134,6 +179,12 @@ def select_wave(
     if per_host_budget is not None or default_budget is not None:
         if impl == "pandas":
             cand = _budget_pandas(cand, policy, per_host_budget, default_budget)
+        elif impl == "window2":
+            # skew-proof two-phase top-k: per-(host, salt) then per-host —
+            # the 100 TB shape (a hot host never sorts in one task)
+            cand = _budget_window_two_phase(
+                cand, order, per_host_budget, default_budget
+            )
         else:
             cand = _budget_window(cand, order, per_host_budget, default_budget)
 

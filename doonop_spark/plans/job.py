@@ -225,8 +225,10 @@ class CrawlJob:
     # overrides with an arbitrary Column
     check: str = "text"
     side_program: str | None = None
-    # politeness implementation: 'window' (JVM row_number, default) or
-    # 'pandas' (applyInPandas grouped priority queue, for custom rules)
+    # politeness implementation: 'window' (JVM row_number, default),
+    # 'window2' (two-phase per-(host,salt)→per-host top-k — skew-proof:
+    # a hot host's frontier never sorts in one task; identical output),
+    # or 'pandas' (applyInPandas grouped priority queue, for custom rules)
     politeness_impl: str = "window"
     # CLI-fidelity no-ops (browser fetch does not exist here)
     browser: str = "firefox"

@@ -365,3 +365,37 @@ def test_cli_sitemap_seeds(spark, tmp_path):
     bad = run_cli(["--corpus", cpath, "--sitemap-seeds"])
     assert bad.returncode == 2
     assert "--robots-table" in bad.stderr
+
+
+def test_cli_bucketed_corpus_sidecar(fixture_corpus_path, spark, tmp_path):
+    """The CLI loads the corpus via read_bucketed_corpus, so a layout
+    written by write_bucketed_corpus (a) derives B from the sidecar when
+    --corpus-buckets is unset (pruned fetches, identical output), and
+    (b) refuses a WRONG --corpus-buckets loudly instead of silently
+    turning every fetch into a miss — the exact failure the sidecar
+    exists to catch."""
+    from doonop_spark.sources.corpus import write_bucketed_corpus
+
+    bucketed = str(tmp_path / "bucketed_corpus")
+    write_bucketed_corpus(spark.read.parquet(fixture_corpus_path), bucketed, n_buckets=8)
+
+    plain = run_cli(
+        ["--corpus", fixture_corpus_path, "http://localhost:8000/basic/index.html"]
+    )
+    derived = run_cli(
+        ["--corpus", bucketed, "http://localhost:8000/basic/index.html"]
+    )
+    assert derived.returncode == 0
+    assert derived.stdout == plain.stdout
+    assert derived.stderr.endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0\n"
+    ), derived.stderr[-500:]
+
+    wrong = run_cli(
+        [
+            "--corpus", bucketed, "--corpus-buckets", "16",
+            "http://localhost:8000/basic/index.html",
+        ]
+    )
+    assert wrong.returncode != 0
+    assert "n_buckets=8" in (wrong.stderr or "")

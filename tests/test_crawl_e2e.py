@@ -527,11 +527,20 @@ def test_politeness_impl_pandas_crawl_identical(spark):
     )
     w = run_crawl(spark, CrawlJob(**kw, politeness_impl="window"), corpus, robots=robots)
     p = run_crawl(spark, CrawlJob(**kw, politeness_impl="pandas"), corpus, robots=robots)
+    w2 = run_crawl(
+        spark, CrawlJob(**kw, politeness_impl="window2"), corpus, robots=robots
+    )
     assert sorted((r.url, r.data) for r in w.results.collect()) == sorted(
         (r.url, r.data) for r in p.results.collect()
     )
     assert vars(w.stats) == vars(p.stats)
     assert w.iterations == p.iterations
+    # the skew-proof two-phase scheduler crawls identically too
+    assert sorted((r.url, r.data) for r in w.results.collect()) == sorted(
+        (r.url, r.data) for r in w2.results.collect()
+    )
+    assert vars(w.stats) == vars(w2.stats)
+    assert w.iterations == w2.iterations
 
 
 def test_opaque_url_enters_seen_never_collected(spark):
