@@ -100,6 +100,13 @@ def main(argv: list[str] | None = None) -> int:
     # 'wall' = reference parity, --retry_threshold honored in real ms
     # against time.time() (src/retry.rs:38-46)
     ext.add_argument("--retry-clock", choices=["wave", "wall"], default="wave")
+    # politeness scheduler: window (default) | window2 (skew-proof
+    # two-phase per-host top-k) | pandas (grouped priority queue)
+    ext.add_argument(
+        "--politeness-impl",
+        choices=["window", "window2", "pandas"],
+        default="window",
+    )
     ours, rest = ext.parse_known_args(argv)
 
     job = job_from_argv(rest)
@@ -113,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
     job.bloom_partitions = ours.bloom_partitions
     job.bloom_probe_mode = ours.bloom_probe_mode
     job.seen_compact_every = ours.seen_compact_every
+    job.politeness_impl = ours.politeness_impl
 
     # --use_robots_txt without a robots table would silently not gate at
     # all (robots_gate's table-missing semantics are per-HOST fetch-error

@@ -162,6 +162,15 @@ def run_crawl(
 
     clock = clock or _time.time
     io = io or MemoryTableIO()
+    # mirror the CLI's guard (library parity): gating "on" with no table
+    # would silently not gate at all — robots_gate's table-missing
+    # semantics are per-HOST fetch-error skips, not an engine-wide bypass
+    if job.use_robots and robots is None:
+        raise ValueError(
+            "use_robots=True requires a robots table: a corpus-join engine "
+            "has no live robots fetch; without the table every host would "
+            "be silently admitted"
+        )
     # check_data_fn: optional Column factory over (url, html) evaluated
     # INSIDE the fetch stage (shape() below), for check programs that need
     # the raw page: Side programs (Arrow UDF) and the recognized JS

@@ -292,3 +292,14 @@ def test_budget_window2_skewed_frontier_exact_and_bounded(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert parts > 1, "hot host's phase-1 top-k ran in a single task"
+
+
+def test_run_crawl_refuses_use_robots_without_table(spark):
+    """Library parity with the CLI guard: gating 'on' with no robots
+    table must raise, not silently admit every host."""
+    import pytest as _pytest
+
+    corpus = synthetic_corpus(spark, n_hosts=1, n_pages=3)
+    job = CrawlJob(seeds=["http://h0000.example/p0"], engines=1, use_robots=True)
+    with _pytest.raises(ValueError, match="robots table"):
+        run_crawl(spark, job, corpus)
