@@ -663,6 +663,19 @@ def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", surt_key_udf(url).alias("surt"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/textdedup.py
+    contamination_flags): docs sharing ANY word 8-gram with the
+    "benchmark" subset (doc_id % 19 == 3 — a stand-in eval set) are
+    flagged. Exact string-shingle semi-join against a broadcast benchmark
+    shingle set — no hash collisions, fully SQL-replayable."""
+    from doonop_spark.operators.textdedup import contamination_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 3)
+    return contamination_flags(docs, bench, k=8).select("doc_id", "contaminated")
+
+
 def q_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 5-gram shingling stats per document (the MinHash input)."""
     from doonop_spark.functions.text import word_shingles_expr
@@ -762,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sampling": q_frame_sampling,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_real": q_multimodal_decode_real,
+        "decontaminate": q_decontaminate,
         "bloom_dedup": q_bloom_dedup,
         "bloom_dedup_copart": q_bloom_dedup_copart,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1408,6 +1422,35 @@ def oracle_sql() -> dict[str, str]:
                    )) AS BIGINT) AS pixel_sum,
                    CAST(8 AS INT) AS frame_h, CAST(8 AS INT) AS frame_w
             FROM d
+        """,
+        # word-8-gram overlap vs the doc_id % 19 == 3 "benchmark" subset;
+        # slicing toks[i:i+7] is INCLUSIVE in DuckDB (8 tokens), matching
+        # Spark's F.slice(words, i, 8)
+        "decontaminate": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS nw
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN nw = 0 THEN []
+                     WHEN nw <= 8 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, nw - 7),
+                                         i -> array_to_string(toks[i:i+7], ' '))
+                END AS shingles
+              FROM t
+            ), bsh AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 19 = 3
+            ), dsh AS (
+              SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM dsh WHERE s IN (SELECT s FROM bsh)
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         # REAL Netpbm codec oracle: the 24 raster bytes are (doc_id*37 +
         # i*11) % 256 by construction, so the decoded frame's pixel sum is

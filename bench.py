@@ -481,6 +481,7 @@ def main() -> None:
         "dataset_split",
         "pack_sequences",
         "multimodal_decode_real",
+        "decontaminate",
         "lifo_schedule",
         "seen_anti_join",
         "politeness_topk",

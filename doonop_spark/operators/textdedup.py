@@ -43,6 +43,8 @@ __all__ = [
     "embedding_lsh_pairs",
     "dedup_components",
     "dedup_keep",
+    "contamination_flags",
+    "decontaminate",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -431,3 +433,68 @@ def dedup_keep(
         F.col("doc_id").alias("__loser")
     )
     return df.join(losers, df[id_col] == F.col("__loser"), "left_anti")
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): append a
+    ``contaminated`` boolean — True iff the document shares ANY word
+    ``k``-gram with the benchmark corpus (the standard n-gram-overlap
+    test used to strip eval-set leakage from pretraining data).
+
+    Scale shape: the benchmark side (small by construction — eval sets
+    are thousands of documents) collapses to a distinct shingle set and
+    broadcasts; the doc side explodes its distinct shingles and
+    LEFT SEMI joins against the broadcast — no shuffle of the corpus, one
+    hash-agg on the hit ids. Matching is on the exact shingle STRING
+    (never a 64-bit hash), so there are no collision false-positives and
+    the operator is exactly SQL-replayable. Docs with no shingles (empty
+    text) are clean by definition.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_shingles_expr(F.col(bench_text_col), k))
+            ).alias("__sh")
+        )
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(F.array_distinct(word_shingles_expr(F.col(text_col), k))).alias(
+            "__sh"
+        ),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "__sh", "left_semi")
+        .select("__did")
+        .distinct()
+        .withColumn("__contaminated", F.lit(True))
+    )
+    return (
+        docs.join(hits, docs[id_col] == hits["__did"], "left")
+        .drop("__did")
+        .withColumn("contaminated", F.coalesce(F.col("__contaminated"), F.lit(False)))
+        .drop("__contaminated")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Keep only documents with NO word-``k``-gram overlap with the
+    benchmark corpus (see :func:`contamination_flags`)."""
+    return contamination_flags(
+        docs, benchmark, id_col, text_col, bench_text_col, k
+    ).filter(~F.col("contaminated")).drop("contaminated")

@@ -216,3 +216,41 @@ def test_dedup_components_nonconvergence_raises(spark):
     # with enough rounds the same chain converges to one component
     comp = dedup_components(chain, max_iter=25)
     assert {r.component_id for r in comp.collect()} == {0}
+
+
+def test_contamination_flags_exact_overlap(spark):
+    """A doc is contaminated iff it shares a word-8-gram with the
+    benchmark; short docs fall back to the whole-text shingle; empty
+    text is clean; decontaminate drops exactly the flagged docs."""
+    from doonop_spark.operators.textdedup import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    bench_sentence = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            # shares the 8-gram "quick brown fox jumps over the lazy dog"
+            (1, "a b c quick brown fox jumps over the lazy dog x y z"),
+            # same words, order broken — no shared 8-gram
+            (2, "dog lazy the over jumps fox brown quick a b c d e f"),
+            (3, ""),  # empty: clean
+            (4, "short text"),  # < 8 words, no match with bench shingles
+            (5, bench_sentence),  # literally a benchmark doc's text
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_sentence)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in contamination_flags(docs, bench, k=8).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: True}
+    clean = sorted(r.doc_id for r in decontaminate(docs, bench, k=8).collect())
+    assert clean == [2, 3, 4]
+
+    # the benchmark side must be a broadcast join (no corpus shuffle)
+    plan = contamination_flags(docs, bench, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
