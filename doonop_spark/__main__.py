@@ -144,10 +144,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
-    # read_bucketed_corpus attaches the layout's bucket count (sidecar →
-    # column metadata) so the loop can validate --corpus-buckets or derive
-    # B when the flag is unset; plain corpora fall through to a bare read
-    corpus = read_bucketed_corpus(spark, ours.corpus)
+    if ".warc" in ours.corpus.rsplit("/", 1)[-1]:
+        # Common Crawl's native format: .warc/.warc.gz archives (or a
+        # glob of them) parse straight into the corpus shape — one task
+        # per archive file (sources/warc.py)
+        from doonop_spark.sources.warc import warc_corpus
+
+        corpus = warc_corpus(spark, ours.corpus)
+    else:
+        # read_bucketed_corpus attaches the layout's bucket count
+        # (sidecar → column metadata) so the loop can validate
+        # --corpus-buckets or derive B when the flag is unset; plain
+        # corpora fall through to a bare read
+        corpus = read_bucketed_corpus(spark, ours.corpus)
     robots = (
         spark.read.parquet(ours.robots_table) if ours.robots_table else None
     )
