@@ -35,7 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_warc", "parse_warc_bytes", "read_warc", "warc_corpus"]
+__all__ = [
+    "write_warc",
+    "parse_warc_bytes",
+    "read_warc",
+    "warc_corpus",
+    "write_wet",
+    "read_wet",
+]
 
 _CRLF = b"\r\n"
 
@@ -69,9 +76,13 @@ def write_warc(
         f.write(out.getvalue())
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, str, bytes]]:
-    """Yield (url, warc_date, body_bytes) per ``response`` record.
-    Pure function of the bytes — usable driver-side and inside the Arrow
+def parse_warc_bytes(
+    data: bytes, types: tuple[str, ...] = ("response",)
+) -> Iterator[tuple[str, str, bytes]]:
+    """Yield (url, warc_date, body_bytes) per record whose WARC-Type is
+    in ``types``. ``response`` blocks are HTTP messages (body unwrapped);
+    ``conversion`` blocks (WET extracted text) ARE the body. Pure
+    function of the bytes — usable driver-side and inside the Arrow
     parser. Records with other WARC-Types (request, metadata, warcinfo)
     are skipped; truncated trailing garbage stops parsing (Common Crawl
     segments end cleanly; a hard error would poison a whole file for one
@@ -94,15 +105,19 @@ def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, str, bytes]]:
             break
         block = data[end_hdr + 4 : end_hdr + 4 + clen]
         pos = end_hdr + 4 + clen + 4  # block + closing CRLFCRLF
-        if headers.get("warc-type") != "response":
+        rtype = headers.get("warc-type")
+        if rtype not in types:
             continue
         url = headers.get("warc-target-uri")
         ts = headers.get("warc-date", "")
         if not url:
             continue
-        # HTTP message: body follows the first blank line
-        body_at = block.find(_CRLF + _CRLF)
-        body = block[body_at + 4 :] if body_at >= 0 else block
+        if rtype == "response":
+            # HTTP message: body follows the first blank line
+            body_at = block.find(_CRLF + _CRLF)
+            body = block[body_at + 4 :] if body_at >= 0 else block
+        else:  # conversion (WET): the block IS the extracted text
+            body = block
         yield url, ts, body
 
 
@@ -142,4 +157,84 @@ def warc_corpus(spark: SparkSession, path_glob: str) -> DataFrame:
         "html",
         F.col("__page.text").alias("text"),
         lang_id_udf(F.col("__page.text")).alias("lang"),
+    )
+
+
+def write_wet(
+    corpus: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> int:
+    """Distributed WET sink: ``(url, warc_ts, text)`` → one
+    ``part-NNNNN.warc.wet.gz`` of ``conversion`` records per partition
+    (Common Crawl's extracted-text interchange format — the standard
+    hand-off from a crawl to a training-data pipeline). Each task writes
+    its own gzip file directly under ``out_dir`` (local FS here; a DFS
+    mount on a cluster), so the write is shuffle-free and scales with
+    partition count. Returns the number of part files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = io.BytesIO()
+        n = 0
+        for pdf in batches:
+            for url, ts, text in zip(pdf["__u"], pdf["__t"], pdf["__x"]):
+                body = (text or "").encode("utf-8")
+                ts_s = (
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if ts is not None and hasattr(ts, "strftime")
+                    else "1970-01-01T00:00:00Z"
+                )
+                hdr = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: conversion\r\n"
+                    b"WARC-Target-URI: " + str(url).encode() + _CRLF
+                    + b"WARC-Date: " + ts_s.encode() + _CRLF
+                    + b"Content-Type: text/plain\r\n"
+                    + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+                )
+                out.write(gzip.compress(hdr + body + _CRLF + _CRLF, mtime=0))
+                n += 1
+        if n:
+            with open(os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz"), "wb") as f:
+                f.write(out.getvalue())
+        yield pd.DataFrame({"part": [pid], "n_records": [n]})
+
+    parts = (
+        corpus.select(
+            F.col(url_col).alias("__u"),
+            F.col(ts_col).alias("__t"),
+            F.col(text_col).alias("__x"),
+        )
+        .mapInPandas(dump, schema="part int, n_records long")
+        .collect()  # bounded: one row per partition
+    )
+    return sum(1 for r in parts if r.n_records > 0)
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET archives → ``(url, warc_ts, text)`` (conversion records; same
+    scan shape as :func:`read_warc`)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for url, ts, body in parse_warc_bytes(
+                    bytes(content), types=("conversion",)
+                ):
+                    rows.append((url, ts, body.decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=["url", "__ts", "text"])
+
+    raw = spark.read.format("binaryFile").load(path_glob).select("content")
+    parsed = raw.mapInPandas(parse, schema="url string, __ts string, text string")
+    return parsed.select(
+        "url", F.to_timestamp(F.col("__ts")).alias("warc_ts"), "text"
     )
