@@ -42,6 +42,7 @@ __all__ = [
     "warc_corpus",
     "write_wet",
     "read_wet",
+    "write_warc_dir",
 ]
 
 _CRLF = b"\r\n"
@@ -238,3 +239,64 @@ def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
     return parsed.select(
         "url", F.to_timestamp(F.col("__ts")).alias("warc_ts"), "text"
     )
+
+
+def write_warc_dir(
+    corpus: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> int:
+    """Distributed WARC sink: one ``part-NNNNN.warc.gz`` of ``response``
+    records per partition (same task-local shuffle-free shape as
+    :func:`write_wet`). Inverse of :func:`read_warc` — used to emit
+    re-shardable archives and to build archive fixtures at scale.
+    Returns the number of part files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = io.BytesIO()
+        n = 0
+        for pdf in batches:
+            for url, ts, html in zip(pdf["__u"], pdf["__t"], pdf["__h"]):
+                body = bytes(html) if html is not None else b""
+                ts_s = (
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if ts is not None and hasattr(ts, "strftime")
+                    else "1970-01-01T00:00:00Z"
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+                    + body
+                )
+                hdr = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"WARC-Target-URI: " + str(url).encode() + _CRLF
+                    + b"WARC-Date: " + ts_s.encode() + _CRLF
+                    + b"Content-Type: application/http;msgtype=response\r\n"
+                    + b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
+                )
+                out.write(gzip.compress(hdr + http + _CRLF + _CRLF, mtime=0))
+                n += 1
+        if n:
+            with open(os.path.join(out_dir, f"part-{pid:05d}.warc.gz"), "wb") as f:
+                f.write(out.getvalue())
+        yield pd.DataFrame({"part": [pid], "n_records": [n]})
+
+    parts = (
+        corpus.select(
+            F.col(url_col).alias("__u"),
+            F.col(ts_col).alias("__t"),
+            F.col(html_col).alias("__h"),
+        )
+        .mapInPandas(dump, schema="part int, n_records long")
+        .collect()  # bounded: one row per partition
+    )
+    return sum(1 for r in parts if r.n_records > 0)

@@ -143,3 +143,19 @@ def test_wet_roundtrip_distributed(spark, tmp_path):
     a = sorted((r.url, r.warc_ts, r.text) for r in corpus.select("url", "warc_ts", "text").collect())
     b = sorted((r.url, r.warc_ts, r.text) for r in back.collect())
     assert a == b
+
+
+def test_warc_dir_roundtrip_distributed(spark, tmp_path):
+    """corpus → write_warc_dir (per-partition archives) → read_warc
+    reproduces (url, warc_ts, html) byte-exactly."""
+    from doonop_spark.sources.corpus import synthetic_corpus
+    from doonop_spark.sources.warc import read_warc, write_warc_dir
+
+    corpus = synthetic_corpus(spark, n_hosts=2, n_pages=40).repartition(4)
+    out = str(tmp_path / "warc_out")
+    n = write_warc_dir(corpus, out)
+    assert n >= 2
+    back = read_warc(spark, out + "/*.warc.gz")
+    a = sorted((r.url, r.warc_ts, bytes(r.html)) for r in corpus.select("url", "warc_ts", "html").collect())
+    b = sorted((r.url, r.warc_ts, bytes(r.html)) for r in back.collect())
+    assert a == b
