@@ -107,6 +107,9 @@ def main(argv: list[str] | None = None) -> int:
         choices=["window", "window2", "pandas"],
         default="window",
     )
+    # training-pipeline hand-off: also write collected results as WET
+    # archives (conversion records; sources/warc.py) under this directory
+    ext.add_argument("--wet-out")
     ours, rest = ext.parse_known_args(argv)
 
     job = job_from_argv(rest)
@@ -186,6 +189,17 @@ def main(argv: list[str] | None = None) -> int:
     res = run_crawl(
         spark, job, corpus, robots=robots, io=io, resume=ours.resume, cancel=cancel
     )
+
+    if ours.wet_out:
+        # WET sink: each collected value becomes a conversion record,
+        # stamped with the page's capture time from the corpus (K1's
+        # stdout contract is unchanged — this is an ADDITIONAL sink)
+        from doonop_spark.sources.warc import write_wet
+
+        wet_rows = res.results.select("url", "data").join(
+            corpus.select("url", "warc_ts"), "url", "left"
+        )
+        write_wet(wet_rows, ours.wet_out, text_col="data")
 
     # materialize the ordered values BEFORE stopping spark, emit AFTER —
     # Spark writes its own shutdown logs to stderr, and the reference's

@@ -159,3 +159,34 @@ def test_warc_dir_roundtrip_distributed(spark, tmp_path):
     a = sorted((r.url, r.warc_ts, bytes(r.html)) for r in corpus.select("url", "warc_ts", "html").collect())
     b = sorted((r.url, r.warc_ts, bytes(r.html)) for r in back.collect())
     assert a == b
+
+
+def test_cli_wet_out_sink(spark, tmp_path):
+    """--wet-out: collected results also land as WET conversion records
+    (url + collected data + the page's capture time), readable back with
+    read_wet; stdout golden unchanged."""
+    from tests.test_cli import run_cli
+    from doonop_spark.sources.corpus import fixture_site_corpus
+    from doonop_spark.sources.warc import read_wet
+
+    cpath = str(tmp_path / "fixture.parquet")
+    fixture_site_corpus(spark).write.parquet(cpath)
+    wet_dir = str(tmp_path / "wet")
+    p = run_cli(
+        [
+            "--corpus", cpath, "--wet-out", wet_dir,
+            "http://localhost:8000/basic/index.html",
+        ]
+    )
+    assert p.returncode == 0
+    assert p.stderr.endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0\n"
+    ), p.stderr[-500:]
+    back = read_wet(spark, wet_dir + "/*.warc.wet.gz")
+    rows = {r.url: r.text for r in back.collect()}
+    # default check program collects the page URL as the data value
+    assert rows == {
+        "http://localhost:8000/basic/index.html": "http://localhost:8000/basic/index.html",
+        "http://localhost:8000/basic/about.html": "http://localhost:8000/basic/about.html",
+    }
+    assert all(r.warc_ts is not None for r in back.collect())
