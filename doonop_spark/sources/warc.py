@@ -7,18 +7,31 @@ Format (ISO 28500, the subset Common Crawl emits): a WARC file is a
 sequence of records, each ``WARC/1.0\\r\\n`` + header lines +
 ``\\r\\n\\r\\n`` + exactly ``Content-Length`` bytes of block +
 ``\\r\\n\\r\\n``. In ``.warc.gz`` every record is its own gzip member
-(members concatenate; Python's :func:`gzip.decompress` inflates all
-members in one call). A ``response`` record's block is an HTTP/1.1
+(members concatenate). A ``response`` record's block is an HTTP/1.1
 message — status line, headers, blank line, body; the page bytes are the
-body.
+body. Real Common Crawl response blocks frequently carry
+``Transfer-Encoding: chunked`` and/or ``Content-Encoding: gzip|deflate``
+— both are decoded here so ``html`` is always the page bytes, never wire
+framing. Other content-encodings (``br``, ``zstd`` — not in stdlib) pass
+through untouched.
 
-Spark shape: ``spark.read.format("binaryFile")`` lists the archive files
-(each file one row: path + whole-file bytes) and a ``mapInPandas``
-parser emits one corpus row per response record. The FILE is the
-parallelism unit — exactly how Common Crawl ships (10^5 × ~1 GB
-segments for a crawl), so a 100 TB read is a 10^5-task scan with
-per-task linear streaming and no shuffle. Parsing is stdlib-only
-(``gzip``) and runs on Arrow batches.
+Spark shape: the archive FILE is the parallelism unit — exactly how
+Common Crawl ships (10^5 × ~1 GB segments for a crawl), so a 100 TB read
+is a 10^5-task scan with per-task linear streaming and no shuffle. The
+driver lists paths (Hadoop glob, same listing the DataSource API does),
+one task opens one archive and **streams** it: gzip members inflate
+incrementally through :class:`gzip.GzipFile` (bounded internal buffer),
+records parse out of a rolling window, and rows leave the task as
+chunked Arrow batches every ``records_per_batch`` records /
+``batch_target_bytes`` body bytes. Peak task memory is O(record), not
+O(archive) — a 1 GB gzipped / 5 GB inflated segment streams through a
+3 GB executor — and the ``binaryFile`` 2 GB whole-file row cap does not
+apply because file bytes never enter a row. Parsing is stdlib-only
+(``gzip``/``zlib``) and runs on Arrow batches.
+
+A corrupt record mid-archive does not poison the tail: the parser
+resyncs to the next ``\\r\\nWARC/`` marker and counts the skipped bytes
+(logged per file).
 
 ``write_warc`` is the deterministic fixture generator (exact inverse of
 the reader for the emitted subset), so round-trips are byte-asserted in
@@ -29,7 +42,10 @@ from __future__ import annotations
 
 import gzip
 import io
+import logging
+import zlib
 from collections.abc import Iterator
+from typing import BinaryIO
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +54,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "write_warc",
     "parse_warc_bytes",
+    "iter_warc_stream",
     "read_warc",
     "warc_corpus",
     "write_wet",
@@ -46,6 +63,7 @@ __all__ = [
 ]
 
 _CRLF = b"\r\n"
+_log = logging.getLogger(__name__)
 
 
 def write_warc(
@@ -55,90 +73,303 @@ def write_warc(
 ) -> None:
     """Write ``records`` = [(url, iso_ts, html_bytes), ...] as a WARC file
     of ``response`` records (one gzip member per record when
-    ``compress``, the ``.warc.gz`` convention)."""
-    out = io.BytesIO()
-    for url, ts, body in records:
-        http = (
-            b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html\r\n"
-            b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF + body
-        )
-        hdr = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
-            b"WARC-Target-URI: " + url.encode() + _CRLF
-            + b"WARC-Date: " + ts.encode() + _CRLF
-            + b"Content-Type: application/http;msgtype=response\r\n"
-            + b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
-        )
-        rec = hdr + http + _CRLF + _CRLF
-        out.write(gzip.compress(rec, mtime=0) if compress else rec)
+    ``compress``, the ``.warc.gz`` convention). Streams record-by-record
+    to the file handle — O(record) memory."""
     with open(path, "wb") as f:
-        f.write(out.getvalue())
+        for url, ts, body in records:
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html\r\n"
+                b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF + body
+            )
+            hdr = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url.encode() + _CRLF
+                + b"WARC-Date: " + ts.encode() + _CRLF
+                + b"Content-Type: application/http;msgtype=response\r\n"
+                + b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
+            )
+            rec = hdr + http + _CRLF + _CRLF
+            f.write(gzip.compress(rec, mtime=0) if compress else rec)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (RFC 9112 §7.1):
+    ``hex-size[;ext]CRLF data CRLF`` repeated, terminated by a 0-size
+    chunk (trailers ignored). Raises ValueError on malformed framing so
+    the caller can fall back to the raw bytes."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(_CRLF, pos)
+        if nl < 0:
+            raise ValueError("chunked body: missing size line")
+        size = int(body[pos:nl].split(b";")[0].strip(), 16)  # ValueError on junk
+        if size == 0:
+            break
+        start = nl + 2
+        if start + size > len(body):
+            raise ValueError("chunked body: truncated chunk")
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip the chunk-data CRLF
+    return b"".join(out)
+
+
+def _http_body(block: bytes) -> bytes:
+    """HTTP message block → page bytes: body after the first blank line,
+    de-chunked when ``Transfer-Encoding: chunked`` and inflated when
+    ``Content-Encoding: gzip|deflate`` (the encodings Common Crawl
+    actually stores). Unknown encodings and malformed framing degrade to
+    the raw bytes — never drop the record."""
+    sep = block.find(_CRLF + _CRLF)
+    if sep < 0:
+        return block
+    head, body = block[:sep], block[sep + 4 :]
+    te = ce = b""
+    for line in head.split(_CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        k = k.strip().lower()
+        if k == b"transfer-encoding":
+            te = v.strip().lower()
+        elif k == b"content-encoding":
+            ce = v.strip().lower()
+    if b"chunked" in te:
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            pass
+    if ce in (b"gzip", b"x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except (OSError, EOFError):
+            pass
+    elif ce == b"deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:  # some servers send raw deflate without the zlib wrapper
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return body
+
+
+def iter_warc_stream(
+    fh: BinaryIO,
+    types: tuple[str, ...] = ("response",),
+    chunk_size: int = 1 << 20,
+    skipped: list[int] | None = None,
+) -> Iterator[tuple[str, str, bytes]]:
+    """Stream (url, warc_date, body_bytes) per record whose WARC-Type is
+    in ``types`` from a seekable binary stream holding a ``.warc`` or
+    multi-member ``.warc.gz`` archive.
+
+    O(record) memory: gzip members inflate incrementally via
+    :class:`gzip.GzipFile` and parsing keeps only a rolling buffer of
+    the current record. Malformed records (bad header, missing/invalid
+    Content-Length) resync to the next ``\\r\\nWARC/`` marker instead of
+    terminating — skipped byte counts accumulate into ``skipped[0]``
+    when a one-element list is passed.
+
+    ``response`` blocks are HTTP messages (body unwrapped, chunked
+    transfer framing and gzip/deflate content-encoding decoded);
+    ``conversion`` blocks (WET extracted text) ARE the body.
+    """
+    magic = fh.read(2)
+    fh.seek(0)
+    stream: BinaryIO = gzip.GzipFile(fileobj=fh) if magic == b"\x1f\x8b" else fh  # type: ignore[assignment]
+    if skipped is None:
+        skipped = [0]
+    buf = b""
+    eof = False
+
+    def fill() -> bool:
+        nonlocal buf, eof
+        if eof:
+            return False
+        try:
+            chunk = stream.read(chunk_size)
+        except (OSError, EOFError):  # corrupt gzip tail: parse what we have
+            chunk = b""
+        if not chunk:
+            eof = True
+            return False
+        buf += chunk
+        return True
+
+    while True:
+        while len(buf) < 5 and fill():
+            pass
+        if len(buf) < 5:
+            skipped[0] += len(buf)
+            return
+        if not buf.startswith(b"WARC/"):
+            # resync: scan forward for the next record marker
+            idx = buf.find(_CRLF + b"WARC/")
+            if idx >= 0:
+                skipped[0] += idx + 2
+                buf = buf[idx + 2 :]
+                continue
+            # keep a small tail so a marker spanning chunk boundaries survives
+            if len(buf) > 8:
+                skipped[0] += len(buf) - 8
+                buf = buf[-8:]
+            if not fill():
+                skipped[0] += len(buf)
+                return
+            continue
+        end_hdr = buf.find(_CRLF + _CRLF)
+        while end_hdr < 0:
+            if not fill():
+                skipped[0] += len(buf)
+                return  # truncated header at EOF
+            end_hdr = buf.find(_CRLF + _CRLF)
+        headers: dict[str, str] = {}
+        for line in buf[:end_hdr].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii", "replace")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        try:
+            clen = int(headers["content-length"])
+            if clen < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            skipped[0] += 5
+            buf = buf[5:]  # drop this marker, resync to the next record
+            continue
+        need = end_hdr + 4 + clen + 4  # header + block + closing CRLFCRLF
+        while len(buf) < need and fill():
+            pass
+        if len(buf) < end_hdr + 4 + clen:
+            skipped[0] += len(buf)
+            return  # truncated final record
+        block = buf[end_hdr + 4 : end_hdr + 4 + clen]
+        buf = buf[min(need, len(buf)) :]
+        rtype = headers.get("warc-type")
+        if rtype not in types:
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        body = _http_body(block) if rtype == "response" else block
+        yield url, headers.get("warc-date", ""), body
 
 
 def parse_warc_bytes(
     data: bytes, types: tuple[str, ...] = ("response",)
 ) -> Iterator[tuple[str, str, bytes]]:
-    """Yield (url, warc_date, body_bytes) per record whose WARC-Type is
-    in ``types``. ``response`` blocks are HTTP messages (body unwrapped);
-    ``conversion`` blocks (WET extracted text) ARE the body. Pure
-    function of the bytes — usable driver-side and inside the Arrow
-    parser. Records with other WARC-Types (request, metadata, warcinfo)
-    are skipped; truncated trailing garbage stops parsing (Common Crawl
-    segments end cleanly; a hard error would poison a whole file for one
-    bad tail)."""
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # inflates ALL concatenated members
-    pos = 0
-    n = len(data)
-    while pos < n:
-        end_hdr = data.find(_CRLF + _CRLF, pos)
-        if end_hdr < 0 or not data.startswith(b"WARC/", pos):
-            break
-        headers: dict[str, str] = {}
-        for line in data[pos:end_hdr].split(_CRLF)[1:]:
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
-        try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError):
-            break
-        block = data[end_hdr + 4 : end_hdr + 4 + clen]
-        pos = end_hdr + 4 + clen + 4  # block + closing CRLFCRLF
-        rtype = headers.get("warc-type")
-        if rtype not in types:
-            continue
-        url = headers.get("warc-target-uri")
-        ts = headers.get("warc-date", "")
-        if not url:
-            continue
-        if rtype == "response":
-            # HTTP message: body follows the first blank line
-            body_at = block.find(_CRLF + _CRLF)
-            body = block[body_at + 4 :] if body_at >= 0 else block
-        else:  # conversion (WET): the block IS the extracted text
-            body = block
-        yield url, ts, body
+    """In-memory convenience wrapper over :func:`iter_warc_stream` —
+    usable driver-side on small archives and in tests. The distributed
+    readers stream from file handles instead (O(record) memory)."""
+    return iter_warc_stream(io.BytesIO(data), types=types)
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
-    """``.warc`` / ``.warc.gz`` files → rows ``(url, warc_ts, html)``.
-    One task per archive file (binaryFile source), Arrow-batched parse,
-    no shuffle."""
+def _glob_paths(spark: SparkSession, path_glob: str) -> list[str]:
+    """Expand a path/glob through the Hadoop FileSystem API (the same
+    listing the DataSource file index does — works on any configured FS).
+    Directories list one level of plain files. Driver memory is
+    O(#files) — the standard Spark file-listing shape."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path_glob)  # type: ignore[union-attr]
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    statuses = fs.globStatus(jpath)
+    out: list[str] = []
+    for st in statuses or []:
+        if st.isDirectory():
+            for sub in fs.listStatus(st.getPath()):
+                if sub.isFile():
+                    out.append(sub.getPath().toString())
+        elif st.isFile():
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def _local_path(path: str) -> str:
+    """``file:`` URI (Hadoop listing output) → OS path for worker-side
+    ``open``. Non-local schemes raise: this reader streams from the
+    task's filesystem view (local disk or a DFS mount), the same
+    assumption the distributed sinks make."""
+    from urllib.parse import unquote, urlparse
+
+    if ":" not in path.split("/", 1)[0] and "://" not in path:
+        return path
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        return unquote(u.path)
+    raise NotImplementedError(
+        f"warc reader streams from a mounted filesystem; got scheme {u.scheme}://"
+    )
+
+
+def _read_archives(
+    spark: SparkSession,
+    path_glob: str,
+    types: tuple[str, ...],
+    body_col: str,
+    decode_text: bool,
+    records_per_batch: int,
+    batch_target_bytes: int,
+) -> DataFrame:
+    paths = _glob_paths(spark, path_glob)
+    if not paths:
+        raise FileNotFoundError(f"no archive files match {path_glob}")
+    # exactly one archive per task: parallelize with one slice per path
+    pdfp = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], len(paths)),
+        "path string",
+    )
+    cols = ["url", "__ts", body_col]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                for url, ts, body in parse_warc_bytes(bytes(content)):
-                    rows.append((url, ts, body))
-            yield pd.DataFrame(rows, columns=["url", "__ts", "html"])
+            for p in pdf["path"]:
+                skipped = [0]
+                with open(_local_path(str(p)), "rb") as fh:
+                    rows: list[tuple[str, str, object]] = []
+                    nbytes = 0
+                    for url, ts, body in iter_warc_stream(
+                        fh, types=types, skipped=skipped
+                    ):
+                        val: object = (
+                            body.decode("utf-8", "replace") if decode_text else body
+                        )
+                        rows.append((url, ts, val))
+                        nbytes += len(body)
+                        if len(rows) >= records_per_batch or nbytes >= batch_target_bytes:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, nbytes = [], 0
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                if skipped[0]:
+                    _log.warning(
+                        "warc parse: skipped %d unparseable bytes in %s",
+                        skipped[0], p,
+                    )
 
-    raw = spark.read.format("binaryFile").load(path_glob).select("content")
-    parsed = raw.mapInPandas(parse, schema="url string, __ts string, html binary")
+    body_type = "string" if decode_text else "binary"
+    parsed = pdfp.mapInPandas(
+        parse, schema=f"url string, __ts string, {body_col} {body_type}"
+    )
     return parsed.select(
-        "url", F.to_timestamp(F.col("__ts")).alias("warc_ts"), "html"
+        "url", F.to_timestamp(F.col("__ts")).alias("warc_ts"), body_col
+    )
+
+
+def read_warc(
+    spark: SparkSession,
+    path_glob: str,
+    records_per_batch: int = 10_000,
+    batch_target_bytes: int = 64 << 20,
+) -> DataFrame:
+    """``.warc`` / ``.warc.gz`` files → rows ``(url, warc_ts, html)``.
+    One task per archive file, streaming member-by-member inflation,
+    chunked Arrow batches — task memory O(record), no whole-file row
+    (so no ``binaryFile`` 2 GB cap), no shuffle."""
+    return _read_archives(
+        spark, path_glob, ("response",), "html", False,
+        records_per_batch, batch_target_bytes,
     )
 
 
@@ -171,10 +402,11 @@ def write_wet(
     """Distributed WET sink: ``(url, warc_ts, text)`` → one
     ``part-NNNNN.warc.wet.gz`` of ``conversion`` records per partition
     (Common Crawl's extracted-text interchange format — the standard
-    hand-off from a crawl to a training-data pipeline). Each task writes
-    its own gzip file directly under ``out_dir`` (local FS here; a DFS
-    mount on a cluster), so the write is shuffle-free and scales with
-    partition count. Returns the number of part files written."""
+    hand-off from a crawl to a training-data pipeline). Each task streams
+    record gzip members straight to its own file under ``out_dir`` (local
+    FS here; a DFS mount on a cluster) — shuffle-free, O(record) task
+    memory, scales with partition count. Returns the number of part
+    files written."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -183,29 +415,34 @@ def write_wet(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        out = io.BytesIO()
+        f = None
         n = 0
-        for pdf in batches:
-            for url, ts, text in zip(pdf["__u"], pdf["__t"], pdf["__x"]):
-                body = (text or "").encode("utf-8")
-                ts_s = (
-                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-                    if ts is not None and hasattr(ts, "strftime")
-                    else "1970-01-01T00:00:00Z"
-                )
-                hdr = (
-                    b"WARC/1.0\r\n"
-                    b"WARC-Type: conversion\r\n"
-                    b"WARC-Target-URI: " + str(url).encode() + _CRLF
-                    + b"WARC-Date: " + ts_s.encode() + _CRLF
-                    + b"Content-Type: text/plain\r\n"
-                    + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
-                )
-                out.write(gzip.compress(hdr + body + _CRLF + _CRLF, mtime=0))
-                n += 1
-        if n:
-            with open(os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz"), "wb") as f:
-                f.write(out.getvalue())
+        try:
+            for pdf in batches:
+                for url, ts, text in zip(pdf["__u"], pdf["__t"], pdf["__x"]):
+                    body = (text or "").encode("utf-8")
+                    ts_s = (
+                        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and hasattr(ts, "strftime")
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    hdr = (
+                        b"WARC/1.0\r\n"
+                        b"WARC-Type: conversion\r\n"
+                        b"WARC-Target-URI: " + str(url).encode() + _CRLF
+                        + b"WARC-Date: " + ts_s.encode() + _CRLF
+                        + b"Content-Type: text/plain\r\n"
+                        + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+                    )
+                    if f is None:  # lazy: empty partitions write no file
+                        f = open(
+                            os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz"), "wb"
+                        )
+                    f.write(gzip.compress(hdr + body + _CRLF + _CRLF, mtime=0))
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
         yield pd.DataFrame({"part": [pid], "n_records": [n]})
 
     parts = (
@@ -220,24 +457,17 @@ def write_wet(
     return sum(1 for r in parts if r.n_records > 0)
 
 
-def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_wet(
+    spark: SparkSession,
+    path_glob: str,
+    records_per_batch: int = 10_000,
+    batch_target_bytes: int = 64 << 20,
+) -> DataFrame:
     """WET archives → ``(url, warc_ts, text)`` (conversion records; same
-    scan shape as :func:`read_warc`)."""
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                for url, ts, body in parse_warc_bytes(
-                    bytes(content), types=("conversion",)
-                ):
-                    rows.append((url, ts, body.decode("utf-8", "replace")))
-            yield pd.DataFrame(rows, columns=["url", "__ts", "text"])
-
-    raw = spark.read.format("binaryFile").load(path_glob).select("content")
-    parsed = raw.mapInPandas(parse, schema="url string, __ts string, text string")
-    return parsed.select(
-        "url", F.to_timestamp(F.col("__ts")).alias("warc_ts"), "text"
+    streaming scan shape as :func:`read_warc`)."""
+    return _read_archives(
+        spark, path_glob, ("conversion",), "text", True,
+        records_per_batch, batch_target_bytes,
     )
 
 
@@ -249,8 +479,8 @@ def write_warc_dir(
     html_col: str = "html",
 ) -> int:
     """Distributed WARC sink: one ``part-NNNNN.warc.gz`` of ``response``
-    records per partition (same task-local shuffle-free shape as
-    :func:`write_wet`). Inverse of :func:`read_warc` — used to emit
+    records per partition (same task-local shuffle-free streaming shape
+    as :func:`write_wet`). Inverse of :func:`read_warc` — used to emit
     re-shardable archives and to build archive fixtures at scale.
     Returns the number of part files written."""
     import os
@@ -261,33 +491,38 @@ def write_warc_dir(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        out = io.BytesIO()
+        f = None
         n = 0
-        for pdf in batches:
-            for url, ts, html in zip(pdf["__u"], pdf["__t"], pdf["__h"]):
-                body = bytes(html) if html is not None else b""
-                ts_s = (
-                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-                    if ts is not None and hasattr(ts, "strftime")
-                    else "1970-01-01T00:00:00Z"
-                )
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
-                    + body
-                )
-                hdr = (
-                    b"WARC/1.0\r\nWARC-Type: response\r\n"
-                    b"WARC-Target-URI: " + str(url).encode() + _CRLF
-                    + b"WARC-Date: " + ts_s.encode() + _CRLF
-                    + b"Content-Type: application/http;msgtype=response\r\n"
-                    + b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
-                )
-                out.write(gzip.compress(hdr + http + _CRLF + _CRLF, mtime=0))
-                n += 1
-        if n:
-            with open(os.path.join(out_dir, f"part-{pid:05d}.warc.gz"), "wb") as f:
-                f.write(out.getvalue())
+        try:
+            for pdf in batches:
+                for url, ts, html in zip(pdf["__u"], pdf["__t"], pdf["__h"]):
+                    body = bytes(html) if html is not None else b""
+                    ts_s = (
+                        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and hasattr(ts, "strftime")
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    http = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+                        + body
+                    )
+                    hdr = (
+                        b"WARC/1.0\r\nWARC-Type: response\r\n"
+                        b"WARC-Target-URI: " + str(url).encode() + _CRLF
+                        + b"WARC-Date: " + ts_s.encode() + _CRLF
+                        + b"Content-Type: application/http;msgtype=response\r\n"
+                        + b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
+                    )
+                    if f is None:
+                        f = open(
+                            os.path.join(out_dir, f"part-{pid:05d}.warc.gz"), "wb"
+                        )
+                    f.write(gzip.compress(hdr + http + _CRLF + _CRLF, mtime=0))
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
         yield pd.DataFrame({"part": [pid], "n_records": [n]})
 
     parts = (

@@ -50,6 +50,124 @@ def test_warc_skips_non_response_records():
     assert list(parse_warc_bytes(gz)) == got
 
 
+def _response_record(url: str, http: bytes, ts: str = "2024-01-01T00:00:00Z") -> bytes:
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + ts.encode() + b"\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+
+
+def test_warc_chunked_transfer_encoding_decoded():
+    """Real CC response records carry Transfer-Encoding: chunked — the
+    body must come back de-framed, not with hex chunk sizes embedded."""
+    payload = b"<html><main>hello chunked world</main></html>"
+    chunked = (
+        b"1a\r\n" + payload[:26] + b"\r\n"
+        + hex(len(payload) - 26)[2:].encode() + b";ext=1\r\n" + payload[26:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    got = list(parse_warc_bytes(_response_record("http://c.example/", http)))
+    assert got == [("http://c.example/", "2024-01-01T00:00:00Z", payload)]
+
+
+def test_warc_content_encoding_gzip_and_deflate_decoded():
+    import zlib
+
+    payload = b"<html><main>compressed page</main></html>"
+    for name, enc in [
+        (b"gzip", gzip.compress(payload, mtime=0)),
+        (b"deflate", zlib.compress(payload)),
+        (b"deflate", zlib.compress(payload)[2:-4]),  # raw-deflate server quirk
+    ]:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + name + b"\r\n\r\n" + enc
+        )
+        got = list(parse_warc_bytes(_response_record("http://z.example/", http)))
+        assert got == [("http://z.example/", "2024-01-01T00:00:00Z", payload)]
+    # chunked + gzip stack: de-chunk first, then inflate
+    enc = gzip.compress(payload, mtime=0)
+    chunked = hex(len(enc))[2:].encode() + b"\r\n" + enc + b"\r\n0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunked
+    )
+    got = list(parse_warc_bytes(_response_record("http://z.example/", http)))
+    assert got == [("http://z.example/", "2024-01-01T00:00:00Z", payload)]
+    # unknown encodings pass the raw bytes through (no stdlib brotli)
+    http = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + b"\x0bRAWBR"
+    got = list(parse_warc_bytes(_response_record("http://z.example/", http)))
+    assert got[0][2] == b"\x0bRAWBR"
+
+
+def test_warc_resync_after_corrupt_record():
+    """One corrupt record must not poison the tail of the archive: the
+    parser resyncs to the next WARC/ marker and keeps going."""
+    good1 = _response_record("http://a.example/1", b"HTTP/1.1 200 OK\r\n\r\nONE")
+    bad_noclen = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad.example/\r\n\r\n"  # no Content-Length
+    )
+    garbage = b"\x00\xde\xadjunk bytes not a record\xff" * 3
+    good2 = _response_record("http://a.example/2", b"HTTP/1.1 200 OK\r\n\r\nTWO")
+    from doonop_spark.sources.warc import iter_warc_stream
+    import io as _io
+
+    for archive in (
+        good1 + bad_noclen + good2,
+        good1 + garbage + b"\r\n" + good2,
+        garbage + b"\r\n" + good1 + good2,
+    ):
+        skipped = [0]
+        got = list(iter_warc_stream(_io.BytesIO(archive), skipped=skipped))
+        assert [(u, b) for u, _, b in got] == [
+            ("http://a.example/1", b"ONE"),
+            ("http://a.example/2", b"TWO"),
+        ]
+        assert skipped[0] > 0  # the junk was counted, not silently eaten
+
+    # truncated tail: parse everything before the truncation point
+    trunc = good1 + good2[: len(good2) // 2]
+    got = list(iter_warc_stream(_io.BytesIO(trunc)))
+    assert [(u, b) for u, _, b in got] == [("http://a.example/1", b"ONE")]
+
+
+def test_warc_streaming_chunked_batches(spark, tmp_path):
+    """The distributed reader yields multiple Arrow batches per archive
+    (O(record) memory, not O(archive)) and the union is byte-identical."""
+    recs = [
+        (
+            f"http://s.example/p{j}",
+            f"2024-02-01T00:{j // 60:02d}:{j % 60:02d}Z",
+            f"<main>body {j} {'x' * (j % 7)}</main>".encode(),
+        )
+        for j in range(57)
+    ]
+    p = str(tmp_path / "big.warc.gz")
+    write_warc(p, recs)
+
+    # small batch caps force many yields through one archive
+    df = read_warc(spark, p, records_per_batch=10)
+    got = sorted((r.url, bytes(r.html)) for r in df.collect())
+    assert got == sorted((u, b) for u, _, b in recs)
+    # tiny byte target takes the bytes-trigger path
+    df2 = read_warc(spark, p, batch_target_bytes=64)
+    assert sorted((r.url, bytes(r.html)) for r in df2.collect()) == got
+
+    # the stream parser itself is chunk-size independent
+    from doonop_spark.sources.warc import iter_warc_stream
+
+    with open(p, "rb") as fh:
+        tiny = list(iter_warc_stream(fh, chunk_size=13))
+    assert [(u, t, b) for u, t, b in tiny] == recs
+
+
 def test_read_warc_multiple_files(spark, tmp_path):
     for i in range(3):
         write_warc(
@@ -71,8 +189,8 @@ def test_read_warc_multiple_files(spark, tmp_path):
     }
     # timestamps parsed to real timestamps
     assert all(r.warc_ts is not None for r in rows)
-    # one task per archive file (binaryFile is the parallelism unit)
-    assert df.rdd.getNumPartitions() >= 1
+    # exactly one task per archive file (the file is the parallelism unit)
+    assert df.rdd.getNumPartitions() == 3
 
 
 def test_warc_backed_crawl_matches_parquet(spark, tmp_path):
