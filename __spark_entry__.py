@@ -202,6 +202,45 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.results.select("url", "data")
 
 
+def q_warc_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4b e2e: the crawl_bfs flagship THROUGH the WARC format — the
+    documents-derived corpus is written out as per-partition ``.warc.gz``
+    archives (``write_warc_dir``), streamed back via ``warc_corpus``
+    (member-by-member inflation, chunked Arrow batches, byte-exact
+    extraction in the same pass), and BFS-crawled. Same closed-form
+    oracle as crawl_bfs: every document reachable from doc 0 with
+    byte-identical extracted text — so a hash match proves the WARC
+    round-trip is lossless end-to-end."""
+    import shutil
+    import tempfile
+
+    from doonop_spark.plans.job import CrawlJob
+    from doonop_spark.plans.loop import run_crawl
+    from doonop_spark.sources.corpus import pages_from_documents
+    from doonop_spark.sources.warc import warc_corpus, write_warc_dir
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = pages_from_documents(spark, docs, n_hosts=20)
+    warc_dir = tempfile.mkdtemp(prefix="doonop_warc_oracle_")
+    try:
+        write_warc_dir(corpus.repartition(8), warc_dir)
+        job = CrawlJob(
+            seeds=["http://h0000.example/d0"],
+            engines=None,
+            per_host_budget=100_000,
+            salt_target_rows=0,
+        )
+        res = run_crawl(spark, job, warc_corpus(spark, warc_dir + "/*.warc.gz"))
+        out = res.results.select("url", "data")
+        # the crawl is fully materialized (run_crawl drives the waves), so
+        # the archives are safe to remove once the results frame is built —
+        # but results may still lazily re-scan; pin them first.
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # training-data operator suite
 # ---------------------------------------------------------------------------
@@ -752,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_extract": q_host_extract,
         "url_normalize": q_url_normalize,
         "crawl_bfs": q_crawl_bfs,
+        "warc_crawl": q_warc_crawl,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
         "token_vocab": q_token_vocab,
@@ -1268,6 +1308,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "crawl_bfs": f"""
+            SELECT {doc_url} AS url, text AS data FROM documents
+        """,
+        "warc_crawl": f"""
             SELECT {doc_url} AS url, text AS data FROM documents
         """,
         "dedup_exact": """
