@@ -181,7 +181,6 @@ def cluster_scaling() -> None:
         spreads[key] = [round(r, 1) for r in runs]
         ups[key] = max(runs)
 
-    eff_1_4 = (ups["exec4x2"] / ups["exec1x2"]) / 4
     result = {
         "mode": "local-cluster (separate executor JVMs)",
         "scale_pages": SCALE_PAGES,
@@ -190,11 +189,16 @@ def cluster_scaling() -> None:
         "urls_per_sec_median": {
             k: round(statistics.median(v), 1) for k, v in spreads.items()
         },
-        "scaling_efficiency_1_to_4_executors": round(eff_1_4, 3),
-        "scaling_efficiency_1_to_4_executors_median": round(
-            (statistics.median(spreads["exec4x2"]) / statistics.median(spreads["exec1x2"])) / 4, 3
-        ),
     }
+    # levels above the host's CPU count were skipped — only compute the
+    # efficiencies whose endpoints actually ran
+    if "exec4x2" in ups and "exec1x2" in ups:
+        result["scaling_efficiency_1_to_4_executors"] = round(
+            (ups["exec4x2"] / ups["exec1x2"]) / 4, 3
+        )
+        result["scaling_efficiency_1_to_4_executors_median"] = round(
+            (statistics.median(spreads["exec4x2"]) / statistics.median(spreads["exec1x2"])) / 4, 3
+        )
     if "exec16x2" in ups:
         result["scaling_efficiency_4_to_16_executors"] = round(
             (ups["exec16x2"] / ups["exec4x2"]) / 4, 3

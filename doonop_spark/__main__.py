@@ -154,6 +154,9 @@ def main(argv: list[str] | None = None) -> int:
         from doonop_spark.sources.warc import warc_corpus
 
         corpus = warc_corpus(spark, ours.corpus)
+        # WARC archives may hold several captures (revisits) of one URL;
+        # the fetch keeps the latest capture per URL
+        job.dedup_captures = True
     else:
         # read_bucketed_corpus attaches the layout's bucket count
         # (sidecar → column metadata) so the loop can validate
@@ -196,9 +199,11 @@ def main(argv: list[str] | None = None) -> int:
         # stdout contract is unchanged — this is an ADDITIONAL sink)
         from doonop_spark.sources.warc import write_wet
 
-        wet_rows = res.results.select("url", "data").join(
-            corpus.select("url", "warc_ts"), "url", "left"
-        )
+        # a WARC corpus may legally hold several captures (revisits) of
+        # one URL — keep the latest capture time so each collected value
+        # emits exactly ONE conversion record
+        captures = corpus.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+        wet_rows = res.results.select("url", "data").join(captures, "url", "left")
         write_wet(wet_rows, ours.wet_out, text_col="data")
 
     # materialize the ordered values BEFORE stopping spark, emit AFTER —

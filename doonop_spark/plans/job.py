@@ -224,6 +224,13 @@ class CrawlJob:
     # (P3, src/backend.rs:173-184); run_crawl's data_expr argument
     # overrides with an arbitrary Column
     check: str = "text"
+    # revisit semantics: a WARC corpus may hold several captures of one
+    # URL; True = the fetch keeps only the LATEST capture per URL
+    # (wave-sized window in the fetch join — plans/loop.py
+    # latest_capture). Default False: the parquet corpus contract has
+    # unique urls, and the dedup window is not free on the broadcast
+    # path. The CLI turns this on automatically for .warc corpora.
+    dedup_captures: bool = False
     side_program: str | None = None
     # politeness implementation: 'window' (JVM row_number, default),
     # 'window2' (two-phase per-(host,salt)→per-host top-k — skew-proof:

@@ -467,6 +467,27 @@ def run_crawl(
                 *extra,
             )
 
+        def latest_capture(joined: DataFrame) -> DataFrame:
+            """Revisit semantics (opt-in, ``job.dedup_captures``): a WARC
+            corpus may legally hold several captures of one URL; the
+            fetch must return ONE page per frontier URL — the latest
+            capture wins, ties broken by html hash for determinism.
+            Wave-sized window only (never a corpus-side shuffle); on the
+            plain path the join's url-keyed exchange is reused by the
+            window's partitionBy(url). Default OFF: the parquet corpus
+            contract has unique urls and the broadcast path would pay a
+            wave-sized shuffle for nothing."""
+            if not job.dedup_captures:
+                return joined
+            w = Window.partitionBy("url").orderBy(
+                F.desc_nulls_last("warc_ts"), F.desc(F.xxhash64(F.col("html")))
+            )
+            return (
+                joined.withColumn("__cap_rn", F.row_number().over(w))
+                .filter(F.col("__cap_rn") == 1)
+                .drop("__cap_rn")
+            )
+
         # Bucketed fetch (the 100 TB plan): the corpus is storage-partitioned
         # by bucket = pmod(xxhash64(url), B) (write_bucketed_corpus), the
         # wave's bucket set is collected (≤ min(wave, B) ints) and pushed as
@@ -480,7 +501,9 @@ def run_crawl(
                 "bucket", bucket_expr(F.col("url"), corpus_buckets)
             )
             pruned = corpus.filter(F.col("bucket").isin(bkts))
-            joined = wave_b.join(pruned, on=["bucket", "url"], how="left").drop("bucket")
+            joined = latest_capture(
+                wave_b.join(pruned, on=["bucket", "url"], how="left").drop("bucket")
+            )
             shaped, get_counts = _observe_status(shape(joined), iteration)
             fetched = io.materialize(shaped, "wave_fetched", iteration)
         # Small waves broadcast INTO the corpus join: the corpus (the 100 TB
@@ -491,7 +514,7 @@ def run_crawl(
         # anti-join against the materialized hits — both joins stream the
         # big side exactly once.
         elif n_sched <= job.broadcast_wave_max:
-            hits = corpus.join(F.broadcast(gated), on="url", how="inner")
+            hits = latest_capture(corpus.join(F.broadcast(gated), on="url", how="inner"))
             shaped_h, get_hits = _observe_status(shape(hits), iteration, "hits")
             fetched = io.materialize(shaped_h, "wave_fetched", iteration)
             missed = gated.join(
@@ -506,7 +529,7 @@ def run_crawl(
                 k: get_hits()[k] + get_miss()[k] for k in get_hits()
             }
         else:
-            joined = gated.join(corpus, on="url", how="left")
+            joined = latest_capture(gated.join(corpus, on="url", how="left"))
             shaped, get_counts = _observe_status(shape(joined), iteration)
             fetched = io.materialize(shaped, "wave_fetched", iteration)
         ok = F.col("status") == "ok"

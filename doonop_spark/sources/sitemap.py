@@ -38,8 +38,12 @@ def expand_sitemaps(sitemap_urls: DataFrame, corpus: DataFrame) -> DataFrame:
     """(host, sitemap_url) ⋈ corpus on url → exploded <loc> seed URLs.
     Sitemaps missing from the corpus are skipped silently (fetch-miss
     semantics, same as robots F6)."""
-    xml = sitemap_urls.join(
-        corpus.select(F.col("url").alias("sitemap_url"), "html"), "sitemap_url"
+    # broadcast the tiny robots-derived sitemap-URL set so the corpus —
+    # including html:binary — streams through a BroadcastHashJoin probe
+    # instead of shuffling in a sort-merge join (100 TB: one corpus scan,
+    # zero corpus shuffle)
+    xml = corpus.select(F.col("url").alias("sitemap_url"), "html").join(
+        F.broadcast(sitemap_urls.select("host", "sitemap_url")), "sitemap_url"
     )
     locs = xml.select(
         "host",
@@ -58,11 +62,34 @@ def seeds_with_sitemaps(
     seeds: list[str], robots: DataFrame | None, corpus: DataFrame, filters
 ) -> list[str]:
     """S6 end-to-end: CLI seeds + every sitemap-declared URL, cleaned once
-    (sort/dedup/filter — F4)."""
-    from doonop_spark.operators.filters import clean_seeds
+    (sort/dedup/filter — F4).
 
-    extra: list[str] = []
+    .. deprecated:: round 5
+        Returning ``list[str]`` inherently materializes the seed set on
+        the driver — fine for test fixtures, wrong for a 100 TB sitemap
+        expansion. The CLI path uses
+        :func:`doonop_spark.sources.seeds.seed_frontier_distributed`
+        instead (seeds stay a DataFrame into the wave-0 frontier); this
+        helper now delegates to it so the cleaning/ordering semantics
+        live in exactly one place, and warns.
+    """
+    import warnings
+
+    warnings.warn(
+        "seeds_with_sitemaps materializes the seed set on the driver; "
+        "use seed_frontier_distributed (sources/seeds.py) for the scale path",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    from doonop_spark.operators.filters import clean_seeds
+    from doonop_spark.sources.seeds import seed_frontier_distributed
+
+    spark = corpus.sparkSession
     if robots is not None:
-        sm = expand_sitemaps(sitemap_urls_from_robots(robots), corpus)
-        extra = [r.url for r in sm.collect()]
-    return clean_seeds(list(seeds) + extra, filters)
+        extra = expand_sitemaps(sitemap_urls_from_robots(robots), corpus)
+    else:
+        extra = spark.createDataFrame([], "url string")
+    frontier = seed_frontier_distributed(
+        spark, clean_seeds(list(seeds), filters), extra, filters=filters
+    )
+    return [r.url for r in frontier.orderBy("seq").select("url").collect()]

@@ -28,7 +28,7 @@ def test_no_per_row_python_anywhere(spark):
 
     # queries that run the iterative loop are exercised via their own e2e
     # tests; here we check every single-DAG query's plan
-    skip = {"crawl_bfs"}
+    skip = {"crawl_bfs", "warc_crawl"}
     for name, q in e.queries().items():
         if name in skip:
             continue
@@ -51,6 +51,31 @@ def test_robots_gate_is_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan  # the wave must NOT shuffle
     assert "SortMergeJoin" not in plan
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_sitemap_expansion_broadcasts_sitemap_urls(spark):
+    """expand_sitemaps must stream the corpus through a broadcast probe of
+    the tiny sitemap-URL set — never shuffle the corpus (html included)
+    into a sort-merge join."""
+    from doonop_spark.sources.sitemap import expand_sitemaps, sitemap_urls_from_robots
+
+    corpus = spark.range(0, 1000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit("<urlset><url><loc>http://h0.example/from-sitemap</loc></url></urlset>"
+                                ), F.col("id").cast("string")), "utf-8").alias("html"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.example", f"Sitemap: http://h{i}.example/p{i}\n") for i in range(5)],
+        "host string, robots_txt string",
+    )
+    sm = expand_sitemaps(sitemap_urls_from_robots(robots), corpus)
+    plan = plan_of(sm)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert sorted(r.url for r in sm.collect()) == [
+        "http://h0.example/from-sitemap"
+    ]
 
 
 def test_parquet_scan_pushdown_and_pruning(spark):

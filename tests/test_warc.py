@@ -245,6 +245,71 @@ def test_cli_warc_corpus_golden(spark, tmp_path):
     ]
 
 
+def test_cli_wet_out_dedups_revisits(spark, tmp_path):
+    """A WARC corpus may hold multiple captures of one URL (revisits);
+    --wet-out must emit ONE conversion record per collected value,
+    stamped with the latest capture time."""
+    from tests.test_cli import run_cli
+    from doonop_spark.sources.corpus import fixture_site_corpus
+    from doonop_spark.sources.warc import read_wet
+
+    recs = [
+        (r.url, "2024-01-01T00:00:00Z", bytes(r.html))
+        for r in fixture_site_corpus(spark).orderBy("url").collect()
+    ]
+    # a later revisit of about.html with identical content
+    about = next(r for r in recs if r[0].endswith("about.html"))
+    recs.append((about[0], "2024-06-30T12:00:00Z", about[2]))
+    wpath = str(tmp_path / "revisits.warc.gz")
+    write_warc(wpath, recs)
+    wet_dir = str(tmp_path / "wet")
+    p = run_cli(
+        ["--corpus", wpath, "--wet-out", wet_dir,
+         "http://localhost:8000/basic/index.html"]
+    )
+    assert p.returncode == 0, p.stderr[-500:]
+    # the crawl itself dedups revisits (latest capture wins): the page is
+    # visited ONCE, not once per capture
+    assert p.stderr.endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0\n"
+    ), p.stderr[-500:]
+    rows = read_wet(spark, wet_dir + "/*.warc.wet.gz").collect()
+    by_url = {}
+    for r in rows:
+        assert r.url not in by_url, f"duplicate WET record for {r.url}"
+        by_url[r.url] = r.warc_ts
+    assert set(by_url) == {
+        "http://localhost:8000/basic/index.html",
+        "http://localhost:8000/basic/about.html",
+    }
+    # the revisited page carries the LATEST capture time
+    assert by_url["http://localhost:8000/basic/about.html"].year == 2024
+    assert by_url["http://localhost:8000/basic/about.html"].month == 6
+
+
+def test_crawl_dedup_captures_latest_wins(spark):
+    """dedup_captures: with two captures of one URL in the corpus, the
+    fetch uses the LATEST capture's content — on both the plain and the
+    broadcast fetch paths."""
+    from datetime import datetime
+
+    from doonop_spark.plans.job import CrawlJob
+    from doonop_spark.plans.loop import run_crawl
+
+    url = "http://r.example/"
+    rows = [
+        (url, datetime(2024, 1, 1), b"<html><main>old capture</main></html>"),
+        (url, datetime(2024, 5, 1), b"<html><main>new capture</main></html>"),
+    ]
+    corpus = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    for bmax in (0, 10_000):  # plain SMJ path, then broadcast-wave path
+        job = CrawlJob(seeds=[url], dedup_captures=True, broadcast_wave_max=bmax)
+        res = run_crawl(spark, job, corpus)
+        got = res.results.collect()
+        assert len(got) == 1 and got[0].data == "new capture", (bmax, got)
+        assert res.stats.count_visited == 1 and res.stats.count_collected == 1
+
+
 def test_wet_roundtrip_distributed(spark, tmp_path):
     """corpus → write_wet (one gzip per partition, shuffle-free) →
     read_wet reproduces (url, warc_ts, text) exactly; multiple part
