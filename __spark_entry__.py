@@ -241,6 +241,39 @@ def q_warc_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index through the WARC format (sources/cdx.py): the
+    documents-derived corpus is written as ``.warc.gz`` archives and
+    indexed — one streaming task per archive, member-exact compressed
+    offsets, HTTP status/mime parsed from the stored response, SHA-256
+    page digest, SURT key, ts14 timestamp. Offsets and filenames depend
+    on the runtime partition layout, so they are pinned by the
+    random-access byte-equality tests (tests/test_cdx.py) rather than
+    the SQL oracle; every content-determined field is exact-oracled here
+    (the digest match proves the archived page bytes AND the parser's
+    HTTP unwrapping are byte-faithful)."""
+    import shutil
+    import tempfile
+
+    from doonop_spark.sources.cdx import cdx_index
+    from doonop_spark.sources.corpus import pages_from_documents
+    from doonop_spark.sources.warc import write_warc_dir
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = pages_from_documents(spark, docs, n_hosts=20)
+    cdx_dir = tempfile.mkdtemp(prefix="doonop_cdx_oracle_")
+    try:
+        write_warc_dir(corpus.repartition(8), cdx_dir)
+        out = (
+            cdx_index(spark, cdx_dir + "/*.warc.gz")
+            .select("url", "surt", "ts14", "status", "mime", "digest")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(cdx_dir, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # training-data operator suite
 # ---------------------------------------------------------------------------
@@ -792,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "crawl_bfs": q_crawl_bfs,
         "warc_crawl": q_warc_crawl,
+        "cdx_index": q_cdx_index,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
         "token_vocab": q_token_vocab,
@@ -1202,6 +1236,13 @@ def oracle_sql() -> dict[str, str]:
         "'http://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')"
         " || '.example/d' || CAST(doc_id AS VARCHAR)"
     )
+
+    def _doc_url_of(e: str) -> str:
+        """pages_from_documents URL of an arbitrary doc-id expression."""
+        return (
+            f"'http://h' || lpad(CAST(({e}) % 20 AS VARCHAR), 4, '0')"
+            f" || '.example/d' || CAST({e} AS VARCHAR)"
+        )
     seed_url = (
         "'http://h' || lpad(CAST((doc_id % 50) % 20 AS VARCHAR), 4, '0')"
         " || '.example/d' || CAST(doc_id % 50 AS VARCHAR)"
@@ -1312,6 +1353,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_crawl": f"""
             SELECT {doc_url} AS url, text AS data FROM documents
+        """,
+        "cdx_index": f"""
+            SELECT {doc_url} AS url,
+                   'example,h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')
+                     || ')/d' || CAST(doc_id AS VARCHAR) AS surt,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                            + to_seconds(doc_id), '%Y%m%d%H%M%S') AS ts14,
+                   200 AS status, 'text/html' AS mime,
+                   sha256('<html><head><title>' || {doc_url}
+                     || '</title></head><body>'
+                     || (CASE WHEN doc_id * 2 + 1 < (SELECT count(*) FROM documents)
+                         THEN '<a href="' || {_doc_url_of("doc_id * 2 + 1")} || '">l</a>'
+                         ELSE '' END)
+                     || (CASE WHEN doc_id * 2 + 2 < (SELECT count(*) FROM documents)
+                         THEN '<a href="' || {_doc_url_of("doc_id * 2 + 2")} || '">l</a>'
+                         ELSE '' END)
+                     || '<main>' || replace(replace(text, '&', '&amp;'), '<', '&lt;')
+                     || '</main></body></html>') AS digest
+            FROM documents
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_id, count(*) AS n_dups

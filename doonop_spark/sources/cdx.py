@@ -1,0 +1,320 @@
+"""CDX capture index over WARC archives — the Common Crawl access
+pattern the corpus format implies (SURVEY.md §2.1 extension, companion
+to :mod:`doonop_spark.sources.warc`).
+
+Common Crawl ships three artifacts per crawl: the ``.warc.gz`` segments,
+the WET extracts, and a **CDX index** — one line per capture, keyed by
+SURT, carrying ``(timestamp, url, mime, status, digest, length, offset,
+filename)`` where ``offset``/``length`` locate the capture's own gzip
+member inside its archive so a client fetches ONE page with an HTTP
+range request instead of scanning a segment. This module produces and
+consumes that index:
+
+- :func:`cdx_index` — distributed index build: one task per archive
+  (the same shuffle-free scan shape as ``read_warc``), streaming
+  member-by-member so task memory is O(record). Offsets come from
+  counting *compressed* bytes per gzip member (``.warc.gz``) or record
+  spans in the raw byte stream (plain ``.warc``).
+- :func:`read_warc_record` / :func:`fetch_cdx` — random access: seek to
+  ``offset``, read ``length`` bytes, inflate one member, parse one
+  record. ``fetch_cdx`` is the distributed form (an indexed subset →
+  pages) — it repartitions by filename and seeks ascending offsets so
+  each task streams forward through one archive.
+- :func:`write_cdxj` / :func:`read_cdxj` — the CDXJ text interchange
+  form, written as globally SURT-ordered shards (range partition +
+  in-partition sort, Common Crawl's ``cdx-NNNNN.gz`` layout) so a
+  lookup range-probes one shard.
+
+Deviation from Common Crawl's field conventions, chosen for
+oracle-ability: ``digest`` is lowercase-hex SHA-256 of the *decoded*
+page bytes (CC uses base32 SHA-1 of the raw payload). Everything else —
+SURT key, ts14 timestamp, member-exact offsets — matches.
+
+At 100 TB: the index build is a single 10^5-task scan emitting ~100
+bytes per capture (3-4 orders of magnitude smaller than the corpus —
+index rows shuffle freely); the CDXJ sort is one range-shuffle of that
+small table; random access reads exactly the bytes a capture occupies.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import logging
+import zlib
+from collections.abc import Iterator
+from typing import BinaryIO
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doonop_spark.sources.warc import (
+    _glob_paths,
+    _http_body,
+    _http_status_mime,
+    _iter_warc_raw,
+    _local_path,
+)
+
+__all__ = [
+    "iter_gzip_members",
+    "cdx_index",
+    "read_warc_record",
+    "fetch_cdx",
+    "write_cdxj",
+    "read_cdxj",
+]
+
+_log = logging.getLogger(__name__)
+
+_CDX_SCHEMA = (
+    "url string, __ts string, status int, mime string, digest string, "
+    "length long, offset long, filename string"
+)
+
+
+def iter_gzip_members(
+    fh: BinaryIO, chunk_size: int = 1 << 20
+) -> Iterator[tuple[int, int, bytes]]:
+    """Yield ``(offset, compressed_length, inflated_bytes)`` per gzip
+    member of a multi-member stream — the member boundaries ARE the CDX
+    coordinates for a ``.warc.gz`` (one record per member, the Common
+    Crawl convention). Memory is O(member) = O(record); a corrupt member
+    stops the scan (the caller logs how many bytes of the archive were
+    indexed)."""
+    next_off = 0  # absolute offset of the next compressed byte to consume
+    tail = b""
+    d: zlib._Decompress | None = None
+    member_start = 0
+    out = bytearray()
+    while True:
+        chunk = tail if tail else fh.read(chunk_size)
+        tail = b""
+        if not chunk:
+            return  # clean EOF, or a truncated trailing member (not indexable)
+        if d is None:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            member_start = next_off
+            out = bytearray()
+        try:
+            out += d.decompress(chunk)
+        except zlib.error:
+            _log.warning(
+                "gzip member at offset %d is corrupt; stopping index scan",
+                member_start,
+            )
+            return
+        next_off += len(chunk)
+        if d.eof:
+            unused = d.unused_data
+            comp_len = (next_off - len(unused)) - member_start
+            yield member_start, comp_len, bytes(out)
+            next_off -= len(unused)
+            tail = unused
+            d = None
+
+
+def _cdx_row(
+    headers: dict[str, str], block: bytes, offset: int, length: int, filename: str
+) -> tuple | None:
+    if headers.get("warc-type") != "response":
+        return None
+    url = headers.get("warc-target-uri")
+    if not url:
+        return None
+    status, mime = _http_status_mime(block)
+    digest = hashlib.sha256(_http_body(block)).hexdigest()
+    return (url, headers.get("warc-date", ""), status, mime, digest, length, offset, filename)
+
+
+def _cdx_rows_for_file(path: str) -> Iterator[tuple]:
+    """Index one archive: (url, ts, status, mime, digest, length, offset,
+    filename) per ``response`` capture. Offsets are compressed member
+    coordinates for ``.warc.gz``, raw record spans for plain ``.warc``."""
+    local = _local_path(path)
+    with open(local, "rb") as fh:
+        magic = fh.read(2)
+        fh.seek(0)
+        if magic == b"\x1f\x8b":
+            for off, clen, data in iter_gzip_members(fh):
+                recs = list(_iter_warc_raw(io.BytesIO(data)))
+                if len(recs) > 1:
+                    # non-CC layout: several records share one member; they
+                    # share its coordinates (random access re-parses all)
+                    _log.warning(
+                        "%s: gzip member at %d holds %d records",
+                        path, off, len(recs),
+                    )
+                for _o, _s, headers, block in recs:
+                    row = _cdx_row(headers, block, off, clen, path)
+                    if row:
+                        yield row
+        else:
+            for off, span, headers, block in _iter_warc_raw(fh):
+                row = _cdx_row(headers, block, off, span, path)
+                if row:
+                    yield row
+
+
+def cdx_index(
+    spark: SparkSession, path_glob: str, records_per_batch: int = 10_000
+) -> DataFrame:
+    """``.warc``/``.warc.gz`` archives → capture index
+    ``(url, surt, warc_ts, ts14, status, mime, digest, length, offset,
+    filename)``. One task per archive, streaming, shuffle-free — the
+    output is ~100 bytes/capture, so the index of a 100 TB crawl is a
+    few GB and joins broadcast-side downstream. ``surt`` is computed
+    JVM→Arrow-batched from ``url`` (same key as ``CrawlJob.url_key=
+    'surt'``), ``ts14`` is the CDX timestamp form of ``WARC-Date``."""
+    from doonop_spark.functions.canonical import surt_key_udf
+
+    paths = _glob_paths(spark, path_glob)
+    if not paths:
+        raise FileNotFoundError(f"no archive files match {path_glob}")
+    pdfp = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], len(paths)),
+        "path string",
+    )
+    cols = ["url", "__ts", "status", "mime", "digest", "length", "offset", "filename"]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                rows: list[tuple] = []
+                for row in _cdx_rows_for_file(str(p)):
+                    rows.append(row)
+                    if len(rows) >= records_per_batch:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    parsed = pdfp.mapInPandas(parse, schema=_CDX_SCHEMA)
+    ts = F.to_timestamp(F.col("__ts"))
+    # ts14 comes straight from the WARC-Date digits (UTC by spec) — not
+    # from the parsed timestamp — so it is session-timezone-independent
+    ts14 = F.substring(F.regexp_replace(F.col("__ts"), "[^0-9]", ""), 1, 14)
+    return parsed.select(
+        "url",
+        surt_key_udf(F.col("url")).alias("surt"),
+        ts.alias("warc_ts"),
+        ts14.alias("ts14"),
+        "status",
+        "mime",
+        "digest",
+        "length",
+        "offset",
+        "filename",
+    )
+
+
+def _record_at(data: bytes) -> tuple[str, str, bytes]:
+    """First WARC record in ``data`` (inflating a leading gzip member
+    chain first) → (url, warc_date, decoded_body)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    for _o, _s, headers, block in _iter_warc_raw(io.BytesIO(data)):
+        body = (
+            _http_body(block)
+            if headers.get("warc-type") == "response"
+            else block
+        )
+        return headers.get("warc-target-uri", ""), headers.get("warc-date", ""), body
+    raise ValueError("no WARC record at the given offset")
+
+
+def read_warc_record(
+    path: str, offset: int, length: int | None = None
+) -> tuple[str, str, bytes]:
+    """Random access — the CDX client pattern (Common Crawl serves this
+    as an HTTP range request): seek to ``offset``, read ``length``
+    bytes, inflate the single gzip member (or parse the raw record for a
+    plain ``.warc``), return ``(url, warc_date, page_bytes)``."""
+    with open(_local_path(path), "rb") as fh:
+        fh.seek(offset)
+        data = fh.read(length) if length is not None else fh.read()
+    return _record_at(data)
+
+
+def fetch_cdx(cdx: DataFrame) -> DataFrame:
+    """Distributed random access: an indexed subset (any filter over a
+    :func:`cdx_index` frame) → ``(url, warc_ts, html)`` pages, WITHOUT
+    scanning the archives. Repartitions by ``filename`` so one task
+    handles one archive's selected members, seeking in ascending offset
+    order (forward-only disk reads). The fetch cost is proportional to
+    the *selected* bytes — at 100 TB this is the difference between
+    re-reading a crawl and plucking 10^3 pages out of it."""
+    sel = cdx.select("filename", "offset", "length", "url").repartition("filename")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fn, grp in pdf.groupby("filename", sort=True):
+                rows: list[tuple[str, str, bytes]] = []
+                with open(_local_path(str(fn)), "rb") as fh:
+                    for off, ln in sorted(zip(grp["offset"], grp["length"])):
+                        fh.seek(int(off))
+                        rows.append(_record_at(fh.read(int(ln))))
+                yield pd.DataFrame(rows, columns=["url", "__ts", "html"])
+
+    pages = sel.mapInPandas(fetch, schema="url string, __ts string, html binary")
+    return pages.select(
+        "url", F.to_timestamp(F.col("__ts")).alias("warc_ts"), "html"
+    )
+
+
+_CDXJ_META = "url string, digest string, mime string, status int, length long, offset long, filename string"
+
+
+def write_cdxj(cdx: DataFrame, out_dir: str, n_shards: int | None = None) -> None:
+    """CDXJ sink: ``<surt> <ts14> {json}`` lines, gzip text shards that
+    are **globally SURT-ordered** — ``repartitionByRange(surt, ts14)``
+    makes the shard order the global order and ``sortWithinPartitions``
+    orders lines inside each (Common Crawl's ``cdx-NNNNN.gz`` layout), so
+    a lookup binary-searches one shard. One range-shuffle of the small
+    index table; the corpus is never touched."""
+    ranged = (
+        cdx.repartitionByRange(n_shards, "surt", "ts14")
+        if n_shards
+        else cdx.repartitionByRange("surt", "ts14")
+    )
+    line = F.concat_ws(
+        " ",
+        F.col("surt"),
+        F.col("ts14"),
+        F.to_json(
+            F.struct("url", "digest", "mime", "status", "length", "offset", "filename")
+        ),
+    )
+    (
+        ranged.sortWithinPartitions("surt", "ts14")
+        .select(line.alias("value"))
+        .write.option("compression", "gzip")
+        .mode("overwrite")
+        .text(out_dir)
+    )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ shards → the :func:`cdx_index` frame shape (``warc_ts``
+    reconstructed from ``ts14``). Plain distributed text scan."""
+    raw = spark.read.text(path)
+    surt = F.substring_index(F.col("value"), " ", 1)
+    ts14 = F.element_at(F.split(F.col("value"), " ", 3), 2)
+    meta = F.from_json(
+        F.expr("substring(value, length(substring_index(value, ' ', 2)) + 2)"),
+        _CDXJ_META,
+    )
+    return raw.select(
+        meta["url"].alias("url"),
+        surt.alias("surt"),
+        F.to_timestamp(ts14, "yyyyMMddHHmmss").alias("warc_ts"),
+        ts14.alias("ts14"),
+        meta["status"].alias("status"),
+        meta["mime"].alias("mime"),
+        meta["digest"].alias("digest"),
+        meta["length"].alias("length"),
+        meta["offset"].alias("offset"),
+        meta["filename"].alias("filename"),
+    )

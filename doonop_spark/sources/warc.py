@@ -155,34 +155,53 @@ def _http_body(block: bytes) -> bytes:
     return body
 
 
-def iter_warc_stream(
-    fh: BinaryIO,
-    types: tuple[str, ...] = ("response",),
+def _http_status_mime(block: bytes) -> tuple[int | None, str | None]:
+    """HTTP message block → (status code, media type) from the status
+    line and ``Content-Type`` header — the two response fields a CDX
+    index records. ``None`` where absent/unparseable (e.g. a block that
+    is not an HTTP message)."""
+    sep = block.find(_CRLF + _CRLF)
+    head = block if sep < 0 else block[:sep]
+    lines = head.split(_CRLF)
+    status: int | None = None
+    if lines and lines[0][:5] == b"HTTP/":
+        parts = lines[0].split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    mime: str | None = None
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            mime = v.split(b";")[0].strip().decode("ascii", "replace").lower()
+            break
+    return status, mime
+
+
+def _iter_warc_raw(
+    stream: BinaryIO,
     chunk_size: int = 1 << 20,
     skipped: list[int] | None = None,
-) -> Iterator[tuple[str, str, bytes]]:
-    """Stream (url, warc_date, body_bytes) per record whose WARC-Type is
-    in ``types`` from a seekable binary stream holding a ``.warc`` or
-    multi-member ``.warc.gz`` archive.
-
-    O(record) memory: gzip members inflate incrementally via
-    :class:`gzip.GzipFile` and parsing keeps only a rolling buffer of
-    the current record. Malformed records (bad header, missing/invalid
-    Content-Length) resync to the next ``\\r\\nWARC/`` marker instead of
-    terminating — skipped byte counts accumulate into ``skipped[0]``
-    when a one-element list is passed.
-
-    ``response`` blocks are HTTP messages (body unwrapped, chunked
-    transfer framing and gzip/deflate content-encoding decoded);
-    ``conversion`` blocks (WET extracted text) ARE the body.
-    """
-    magic = fh.read(2)
-    fh.seek(0)
-    stream: BinaryIO = gzip.GzipFile(fileobj=fh) if magic == b"\x1f\x8b" else fh  # type: ignore[assignment]
+) -> Iterator[tuple[int, int, dict[str, str], bytes]]:
+    """Core WARC framing loop over an (already-inflated) byte stream:
+    yields ``(offset, span, headers, block)`` per record, where
+    ``offset`` is the record's byte position in the stream and ``span``
+    its full consumed length (header + block + closing CRLFCRLF) — the
+    coordinates a CDX index records for a plain ``.warc``. O(record)
+    memory: only a rolling buffer of the current record is held.
+    Malformed records (bad header, missing/invalid Content-Length)
+    resync to the next ``\\r\\nWARC/`` marker instead of terminating —
+    skipped byte counts accumulate into ``skipped[0]`` when a
+    one-element list is passed."""
     if skipped is None:
         skipped = [0]
     buf = b""
+    base = 0  # absolute stream offset of buf[0]
     eof = False
+
+    def drop(n: int) -> None:
+        nonlocal buf, base
+        base += n
+        buf = buf[n:]
 
     def fill() -> bool:
         nonlocal buf, eof
@@ -209,12 +228,12 @@ def iter_warc_stream(
             idx = buf.find(_CRLF + b"WARC/")
             if idx >= 0:
                 skipped[0] += idx + 2
-                buf = buf[idx + 2 :]
+                drop(idx + 2)
                 continue
             # keep a small tail so a marker spanning chunk boundaries survives
             if len(buf) > 8:
                 skipped[0] += len(buf) - 8
-                buf = buf[-8:]
+                drop(len(buf) - 8)
             if not fill():
                 skipped[0] += len(buf)
                 return
@@ -237,7 +256,7 @@ def iter_warc_stream(
                 raise ValueError
         except (KeyError, ValueError):
             skipped[0] += 5
-            buf = buf[5:]  # drop this marker, resync to the next record
+            drop(5)  # drop this marker, resync to the next record
             continue
         need = end_hdr + 4 + clen + 4  # header + block + closing CRLFCRLF
         while len(buf) < need and fill():
@@ -246,7 +265,36 @@ def iter_warc_stream(
             skipped[0] += len(buf)
             return  # truncated final record
         block = buf[end_hdr + 4 : end_hdr + 4 + clen]
-        buf = buf[min(need, len(buf)) :]
+        offset = base
+        span = min(need, len(buf))
+        drop(span)
+        yield offset, span, headers, block
+
+
+def iter_warc_stream(
+    fh: BinaryIO,
+    types: tuple[str, ...] = ("response",),
+    chunk_size: int = 1 << 20,
+    skipped: list[int] | None = None,
+) -> Iterator[tuple[str, str, bytes]]:
+    """Stream (url, warc_date, body_bytes) per record whose WARC-Type is
+    in ``types`` from a seekable binary stream holding a ``.warc`` or
+    multi-member ``.warc.gz`` archive.
+
+    O(record) memory: gzip members inflate incrementally via
+    :class:`gzip.GzipFile` and parsing (:func:`_iter_warc_raw`) keeps
+    only a rolling buffer of the current record, resyncing past
+    malformed records (skipped byte counts accumulate into
+    ``skipped[0]`` when a one-element list is passed).
+
+    ``response`` blocks are HTTP messages (body unwrapped, chunked
+    transfer framing and gzip/deflate content-encoding decoded);
+    ``conversion`` blocks (WET extracted text) ARE the body.
+    """
+    magic = fh.read(2)
+    fh.seek(0)
+    stream: BinaryIO = gzip.GzipFile(fileobj=fh) if magic == b"\x1f\x8b" else fh  # type: ignore[assignment]
+    for _offset, _span, headers, block in _iter_warc_raw(stream, chunk_size, skipped):
         rtype = headers.get("warc-type")
         if rtype not in types:
             continue

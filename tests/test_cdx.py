@@ -1,0 +1,201 @@
+"""CDX index over WARC archives (sources/cdx.py): member-exact offsets,
+random access byte-equality, CDXJ interchange. The offset/length fields
+cannot be SQL-oracled (they depend on the runtime partition layout), so
+these tests ARE their correctness pin: every capture the index reports
+must be retrievable by (filename, offset, length) alone and byte-equal
+to the original page."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from doonop_spark.sources.cdx import (
+    cdx_index,
+    fetch_cdx,
+    iter_gzip_members,
+    read_cdxj,
+    read_warc_record,
+    write_cdxj,
+)
+from doonop_spark.sources.warc import write_warc, write_warc_dir
+
+
+def _fixture_corpus(spark, n=40):
+    """Deterministic little corpus with awkward bytes in the html."""
+    return spark.range(0, n).select(
+        F.concat(
+            F.lit("http://h"), (F.col("id") % 7).cast("string"),
+            F.lit(".example/p"), F.col("id").cast("string"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_dt_interval(secs=F.col("id"))
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body>\r\n\r\nWARC/1.0 decoy "),
+                F.col("id").cast("string"),
+                F.lit(" &<>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+
+
+def test_cdx_index_random_access_byte_exact(spark, tmp_path):
+    """Every indexed capture is retrievable by its (filename, offset,
+    length) coordinates alone, byte-equal to the page that was archived
+    — including pages whose body embeds a WARC record marker."""
+    corpus = _fixture_corpus(spark)
+    out = str(tmp_path / "arcs")
+    write_warc_dir(corpus.repartition(3), out)
+    cdx = cdx_index(spark, out + "/*.warc.gz")
+    rows = cdx.collect()
+    want = {r.url: bytes(r.html) for r in corpus.collect()}
+    assert {r.url for r in rows} == set(want)
+    for r in rows:
+        url, ts, body = read_warc_record(r.filename, r.offset, r.length)
+        assert url == r.url
+        assert body == want[r.url]
+        assert ts.startswith("2024-03-01")
+    # content-determined fields parsed from the stored HTTP response
+    assert all(r.status == 200 and r.mime == "text/html" for r in rows)
+    # digest is SHA-256 of the page bytes — cross-checked against the JVM
+    bad = (
+        cdx.join(
+            corpus.select("url", F.sha2(F.col("html"), 256).alias("want")), "url"
+        )
+        .filter(F.col("digest") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cdx_plain_warc_record_spans(spark, tmp_path):
+    """Plain (uncompressed) .warc: offsets/lengths are raw record spans;
+    seeking to them without any index-side state reproduces each page."""
+    recs = [
+        (f"http://p.example/{i}", "2024-02-02T00:00:00Z", f"body {i} &<>".encode())
+        for i in range(7)
+    ]
+    path = str(tmp_path / "plain.warc")
+    write_warc(path, recs, compress=False)
+    cdx = cdx_index(spark, path).orderBy("url").collect()
+    assert len(cdx) == 7
+    for r in cdx:
+        url, _ts, body = read_warc_record(r.filename, r.offset, r.length)
+        assert url == r.url
+        assert body == dict((u, b) for u, _t, b in recs)[r.url]
+    # spans tile the file: sorted offsets are strictly increasing and
+    # each record starts where its predecessor ended
+    spans = sorted((r.offset, r.length) for r in cdx)
+    for (o1, l1), (o2, _l2) in zip(spans, spans[1:]):
+        assert o1 + l1 == o2
+
+
+def test_iter_gzip_members_boundaries(tmp_path):
+    """Member offsets/lengths from the counting inflater match the real
+    compressed byte layout, and a corrupt member stops cleanly after the
+    good prefix."""
+    parts = [gzip.compress(f"member {i}".encode(), mtime=0) for i in range(5)]
+    blob = b"".join(parts)
+    got = list(iter_gzip_members(io.BytesIO(blob), chunk_size=7))
+    offs = [0]
+    for p in parts[:-1]:
+        offs.append(offs[-1] + len(p))
+    assert [(o, l) for o, l, _ in got] == [
+        (o, len(p)) for o, p in zip(offs, parts)
+    ]
+    assert [d for _, _, d in got] == [f"member {i}".encode() for i in range(5)]
+    # corrupt the 4th member's deflate stream: members 0-2 still index
+    corrupt = bytearray(blob)
+    corrupt[offs[3] + 12] ^= 0xFF
+    got2 = list(iter_gzip_members(io.BytesIO(bytes(corrupt))))
+    assert [d for _, _, d in got2][:3] == [f"member {i}".encode() for i in range(3)]
+    assert len(got2) <= 4
+
+
+def test_cdx_multi_record_member(spark, tmp_path):
+    """Non-CC layout: one gzip member holding two records. Both captures
+    index with the member's shared coordinates, and random access at
+    those coordinates returns the first record (the CC convention is one
+    per member — this pins the degraded-but-defined behavior)."""
+    recs = [
+        ("http://m.example/a", "2024-01-01T00:00:00Z", b"page a"),
+        ("http://m.example/b", "2024-01-01T00:00:01Z", b"page b"),
+    ]
+    raw = io.BytesIO()
+
+    def _rec(url, ts, body):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+            + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + url.encode()
+            + b"\r\nWARC-Date: " + ts.encode()
+            + b"\r\nContent-Type: application/http;msgtype=response\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+
+    raw.write(gzip.compress(b"".join(_rec(*r) for r in recs), mtime=0))
+    path = str(tmp_path / "multi.warc.gz")
+    with open(path, "wb") as f:
+        f.write(raw.getvalue())
+    cdx = cdx_index(spark, path).orderBy("url").collect()
+    assert [r.url for r in cdx] == ["http://m.example/a", "http://m.example/b"]
+    assert cdx[0].offset == cdx[1].offset and cdx[0].length == cdx[1].length
+    url, _ts, body = read_warc_record(path, cdx[0].offset, cdx[0].length)
+    assert (url, body) == ("http://m.example/a", b"page a")
+
+
+def test_fetch_cdx_distributed(spark, tmp_path):
+    """An indexed subset → pages via fetch_cdx, without an archive scan:
+    results byte-equal the corpus for exactly the selected URLs."""
+    corpus = _fixture_corpus(spark, n=60)
+    out = str(tmp_path / "arcs")
+    write_warc_dir(corpus.repartition(4), out)
+    cdx = cdx_index(spark, out + "/*.warc.gz")
+    picked = cdx.filter(F.col("url").rlike("/p[0-9]$"))
+    got = {r.url: bytes(r.html) for r in fetch_cdx(picked).collect()}
+    want = {
+        r.url: bytes(r.html)
+        for r in corpus.filter(F.col("url").rlike("/p[0-9]$")).collect()
+    }
+    assert got == want and len(got) == 10
+
+
+def test_cdxj_roundtrip_and_global_sort(spark, tmp_path):
+    """CDXJ shards: read_cdxj(write_cdxj(x)) == x field-for-field, and
+    concatenating the shard files in name order yields one globally
+    SURT-ordered stream (range partition + in-partition sort)."""
+    import glob
+
+    corpus = _fixture_corpus(spark, n=50)
+    arcs = str(tmp_path / "arcs")
+    write_warc_dir(corpus.repartition(3), arcs)
+    cdx = cdx_index(spark, arcs + "/*.warc.gz")
+    jdir = str(tmp_path / "cdxj")
+    write_cdxj(cdx, jdir, n_shards=4)
+    back = read_cdxj(spark, jdir)
+    a = sorted(map(tuple, cdx.drop("warc_ts").collect()))
+    b = sorted(map(tuple, back.drop("warc_ts").collect()))
+    assert a == b and len(a) == 50
+    lines: list[str] = []
+    for part in sorted(glob.glob(jdir + "/part-*")):
+        opener = gzip.open if part.endswith(".gz") else open
+        with opener(part, "rt") as f:
+            lines += [ln.rstrip("\n") for ln in f if ln.strip()]
+    keys = [tuple(ln.split(" ", 2)[:2]) for ln in lines]
+    assert keys == sorted(keys)
+    assert len(lines) == 50
+
+
+def test_cdx_missing_glob_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        cdx_index(spark, str(tmp_path / "nope" / "*.warc.gz"))
