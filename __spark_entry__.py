@@ -278,6 +278,57 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data operator suite
 # ---------------------------------------------------------------------------
 
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 + Gopher cleaning rules as one JVM projection
+    (operators/qualityfilter.py). The synthetic documents carry no
+    newlines or punctuation, so the query first decorates each into a
+    4-line page — bullets, terminal punctuation, ellipses, 'javascript'
+    / 'lorem ipsum' / brace / '#' injections, all keyed on doc_id
+    arithmetic — exercising every rule in both directions; the oracle
+    replays the decoration and every integer-arithmetic flag exactly."""
+    from doonop_spark.operators.qualityfilter import quality_filter_chain
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t = F.col("text")
+    h = F.floor(F.length(t) / 2).cast("int")
+    p1 = F.trim(F.substring(t, F.lit(1), h))
+    p2 = F.trim(F.substring(t, h + 1, F.length(t)))
+    line1 = F.concat(
+        F.when(i % 5 == 0, F.lit("* ")).otherwise(F.lit("")),
+        p1,
+        F.when(i % 4 == 0, F.lit("."))
+        .when(i % 4 == 1, F.lit("!"))
+        .when(i % 4 == 2, F.lit("?"))
+        .otherwise(F.lit("")),
+    )
+    line2 = F.concat(p2, F.when(i % 6 == 0, F.lit("...")).otherwise(F.lit(".")))
+    line3 = F.concat(
+        F.when(i % 11 == 0, F.lit("enable javascript to view this page"))
+        .otherwise(F.lit("the end of that have with be to of and document")),
+        F.when(i % 10 == 0, F.lit("…")).otherwise(F.lit(".")),
+    )
+    line4 = (
+        F.when(i % 13 == 0, F.lit("lorem ipsum dolor sit amet."))
+        .when(i % 17 == 0, F.lit("config { key: value }"))
+        .otherwise(F.lit("more of the data# follows here."))
+    )
+    # one- vs two-sentence tail line so c4's >= 5-sentence page rule
+    # fires in BOTH directions across the corpus
+    line5 = (
+        F.when(i % 3 == 0, F.lit("and so it goes on here."))
+        .otherwise(F.lit("it is done here. we stop now."))
+    )
+    page = F.concat_ws("\n", line1, line2, line3, line4, line5)
+    out = quality_filter_chain(docs.select("doc_id", page.alias("text")), "text")
+    return out.select(
+        "doc_id", "c4_n_kept_lines", "c4_n_sentences", "c4_has_lorem_ipsum",
+        "c4_has_brace", "c4_keep", "g_n_words", "g_word_count_ok",
+        "g_mean_word_len_ok", "g_symbol_ratio_ok", "g_bullet_ok",
+        "g_ellipsis_ok", "g_alpha_ok", "g_stopword_ok", "g_keep", "keep",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.operators.textdedup import dedup_exact
 
@@ -833,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
+        "quality_filter_chain": q_quality_filter_chain,
         "repetition_stats": q_repetition_stats,
         "lang_quality_breakdown": q_lang_quality_breakdown,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -1231,6 +1283,112 @@ def _lang_id_oracle_sql() -> str:
     """
 
 
+def _quality_filter_oracle_sql() -> str:
+    """DuckDB replay of ``q_quality_filter_chain``: re-derive the 4-line
+    decorated page from doc_id arithmetic, then evaluate every C4 and
+    Gopher flag with the same integer-arithmetic thresholds the Spark
+    operator uses (operators/qualityfilter.py) — list_filter/
+    list_transform mirror F.filter/F.transform element-for-element."""
+    page = (
+        "(CASE WHEN doc_id % 5 = 0 THEN '* ' ELSE '' END)"
+        " || trim(substr(text, 1, length(text) // 2))"
+        " || (CASE doc_id % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'"
+        " WHEN 2 THEN '?' ELSE '' END)"
+        " || chr(10)"
+        " || trim(substr(text, length(text) // 2 + 1))"
+        " || (CASE WHEN doc_id % 6 = 0 THEN '...' ELSE '.' END)"
+        " || chr(10)"
+        " || (CASE WHEN doc_id % 11 = 0 THEN 'enable javascript to view this page'"
+        " ELSE 'the end of that have with be to of and document' END)"
+        " || (CASE WHEN doc_id % 10 = 0 THEN '…' ELSE '.' END)"
+        " || chr(10)"
+        " || (CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'"
+        " WHEN doc_id % 17 = 0 THEN 'config { key: value }'"
+        " ELSE 'more of the data# follows here.' END)"
+        " || chr(10)"
+        " || (CASE WHEN doc_id % 3 = 0 THEN 'and so it goes on here.'"
+        " ELSE 'it is done here. we stop now.' END)"
+    )
+    stop_list = "['the','be','to','of','and','that','have','with']"
+    return f"""
+        WITH pg AS (
+          SELECT doc_id, {page} AS page FROM documents
+        ), c4 AS (
+          SELECT doc_id, page,
+            array_to_string(
+              list_transform(
+                list_filter(regexp_split_to_array(page, '\\n'),
+                  ln -> regexp_matches(trim(ln), '[.!?"]$')
+                        AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+                        AND NOT contains(lower(ln), 'javascript')),
+                x -> trim(x)),
+              chr(10)) AS clean
+          FROM pg
+        ), g AS (
+          SELECT doc_id, page, clean,
+            CASE WHEN regexp_replace(page, '^\\s+|\\s+$', '', 'g') = '' THEN []
+                 ELSE regexp_split_to_array(
+                        regexp_replace(page, '^\\s+|\\s+$', '', 'g'),
+                        '\\s+') END AS words,
+            regexp_split_to_array(page, '\\n') AS lines
+          FROM c4
+        ), m AS (
+          SELECT doc_id, clean,
+            len(words) AS n_words,
+            len(lines) AS n_lines,
+            coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+              AS total_chars,
+            len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+              AS n_alpha_words,
+            len(list_filter(lines, ln -> regexp_matches(ln, '^\\s*[-*•]')))
+              AS n_bullet,
+            len(list_filter(lines,
+                ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\s*$')))
+              AS n_ell_lines,
+            (length(page) - length(replace(page, '#', '')))
+              + (length(page) - length(replace(page, '...', ''))) // 3
+              + (length(page) - length(replace(page, '…', ''))) AS n_symbols,
+            len(list_intersect(list_transform(words, w -> lower(w)),
+                {stop_list})) AS n_stop,
+            len(list_filter(regexp_split_to_array(clean, '[.!?]'),
+                s -> trim(s) != '')) AS n_sentences,
+            contains(lower(page), 'lorem ipsum') AS has_lorem,
+            contains(page, '{{') AS has_brace
+          FROM g
+        ), fl AS (
+          SELECT doc_id,
+            CASE WHEN clean = '' THEN 0
+                 ELSE len(regexp_split_to_array(clean, '\\n')) END
+              AS c4_n_kept_lines,
+            n_sentences AS c4_n_sentences,
+            has_lorem AS c4_has_lorem_ipsum,
+            has_brace AS c4_has_brace,
+            (NOT has_lorem AND NOT has_brace AND n_sentences >= 5) AS c4_keep,
+            n_words AS g_n_words,
+            (n_words >= 50 AND n_words <= 100000) AS g_word_count_ok,
+            (n_words > 0 AND total_chars >= 3 * n_words
+             AND total_chars <= 10 * n_words) AS g_mean_word_len_ok,
+            (n_words > 0 AND 10 * n_symbols < n_words) AS g_symbol_ratio_ok,
+            (10 * n_bullet < 9 * n_lines) AS g_bullet_ok,
+            (10 * n_ell_lines < 3 * n_lines) AS g_ellipsis_ok,
+            (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words) AS g_alpha_ok,
+            (n_stop >= 2) AS g_stopword_ok
+          FROM m
+        )
+        SELECT doc_id, c4_n_kept_lines, c4_n_sentences, c4_has_lorem_ipsum,
+               c4_has_brace, c4_keep, g_n_words, g_word_count_ok,
+               g_mean_word_len_ok, g_symbol_ratio_ok, g_bullet_ok,
+               g_ellipsis_ok, g_alpha_ok, g_stopword_ok,
+               (g_word_count_ok AND g_mean_word_len_ok AND g_symbol_ratio_ok
+                AND g_bullet_ok AND g_ellipsis_ok AND g_alpha_ok
+                AND g_stopword_ok) AS g_keep,
+               (c4_keep AND g_word_count_ok AND g_mean_word_len_ok
+                AND g_symbol_ratio_ok AND g_bullet_ok AND g_ellipsis_ok
+                AND g_alpha_ok AND g_stopword_ok) AS keep
+        FROM fl
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     doc_url = (
         "'http://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')"
@@ -1404,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 HAVING count(*) >= 1
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
+        "quality_filter_chain": _quality_filter_oracle_sql(),
         "token_vocab": """
             WITH t AS (
               SELECT doc_id AS doc,
