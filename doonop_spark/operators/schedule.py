@@ -32,7 +32,44 @@ from pyspark.sql import types as T
 
 from doonop_spark.plans.job import RetryPolicy
 
-__all__ = ["select_wave", "policy_order", "politeness_budget", "salt_for_skew"]
+__all__ = [
+    "select_wave",
+    "policy_order",
+    "politeness_budget",
+    "salt_for_skew",
+    "resolve_politeness_impl",
+]
+
+_log = __import__("logging").getLogger(__name__)
+
+
+def resolve_politeness_impl(
+    impl: str, frontier_rows: int | None, threshold: int
+) -> str:
+    """Resolve ``politeness_impl='auto'`` to a concrete scheduler.
+
+    A frontier of R rows bounds every per-host candidate count by R, so a
+    frontier under ``threshold`` rows provably cannot hold the 10^7-row
+    hot host that makes the single-window top-k serialize in one task —
+    'window' (cheaper: one shuffle, one sort) is safe there. Past the
+    threshold we switch to the two-phase 'window2' preemptively: the two
+    variants are output-identical (e2e-asserted), so the switch can key on
+    the cheap already-observed frontier count instead of an exact
+    max-per-host statistic that would cost its own groupBy job per wave.
+    Same measure-then-choose shape as ``bloom.resolve_probe_mode``.
+    ``frontier_rows=None`` (unknown — e.g. resume from a pre-auto state
+    file) keeps the conservative default 'window' for one wave, after
+    which the count is observed again.
+    """
+    if impl != "auto":
+        return impl
+    if frontier_rows is not None and frontier_rows > threshold:
+        _log.info(
+            "politeness_impl auto: frontier_rows=%d > %d -> window2",
+            frontier_rows, threshold,
+        )
+        return "window2"
+    return "window"
 
 
 def policy_order(policy: RetryPolicy):

@@ -235,8 +235,15 @@ class CrawlJob:
     # politeness implementation: 'window' (JVM row_number, default),
     # 'window2' (two-phase per-(host,salt)→per-host top-k — skew-proof:
     # a hot host's frontier never sorts in one task; identical output),
-    # or 'pandas' (applyInPandas grouped priority queue, for custom rules)
+    # 'pandas' (applyInPandas grouped priority queue, for custom rules),
+    # or 'auto' (window below politeness_auto_threshold frontier rows,
+    # window2 above — operators/schedule.py:resolve_politeness_impl)
     politeness_impl: str = "window"
+    # 'auto' switchover point: a frontier of R rows bounds any per-host
+    # candidate count by R, so below this the single-window form cannot
+    # meet a sort big enough to matter; 2M rows ≈ a few seconds of one
+    # task's window-sort, the cost the two-phase form amortizes away
+    politeness_auto_threshold: int = 2_000_000
     # CLI-fidelity no-ops (browser fetch does not exist here)
     browser: str = "firefox"
     proxy: dict | None = None

@@ -64,6 +64,7 @@ from doonop_spark.operators.robots import robots_gate
 from doonop_spark.operators.schedule import (
     policy_order,
     politeness_budget,
+    resolve_politeness_impl,
     salt_for_skew,
     select_wave,
 )
@@ -208,6 +209,9 @@ def run_crawl(
         seq_counter = state["seq_counter"]
         collected = state["collected"]
         fresh_count = state["fresh_count"]
+        # pre-auto state files lack the key: None keeps 'auto' on the
+        # conservative 'window' for the first resumed wave
+        frontier_rows = state.get("frontier_rows")
         stats = Statistics(**state["stats"])
         frontier = io.load_table(spark, "frontier", iteration)
         # drop orphan appends from a wave that died before its state commit
@@ -250,10 +254,12 @@ def run_crawl(
                 )
             seq_counter = n_seeds
             fresh_count = n_seeds
+            frontier_rows = n_seeds
         else:
             frontier = seed_frontier(spark, cleaned, job.url_key)
             seq_counter = len(cleaned)
             fresh_count = len(cleaned)
+            frontier_rows = len(cleaned)
             frontier = io.materialize(frontier, "frontier", 0)
         # the seen table is append-only (monotone, §2.9): store per-wave
         # DELTAS and anti-join against their union — rewriting the full
@@ -267,6 +273,7 @@ def run_crawl(
                 "seq_counter": seq_counter,
                 "collected": collected,
                 "fresh_count": fresh_count,
+                "frontier_rows": frontier_rows,
                 "stats": vars(stats),
             }
         )
@@ -367,7 +374,10 @@ def run_crawl(
             fresh_empty=fresh_count == 0,
             per_host_budget=budgets,
             default_budget=job.per_host_budget,
-            impl=job.politeness_impl,
+            impl=resolve_politeness_impl(
+                job.politeness_impl, frontier_rows,
+                job.politeness_auto_threshold,
+            ),
         )
         # dispatch_rank fixes the deterministic "completion order" within
         # the wave (the reference's multi-engine completion order is
@@ -787,10 +797,12 @@ def run_crawl(
             obs_fr,
             F.count_if(~F.col("is_retry")).alias("fresh"),
             F.max("seq").alias("max_seq"),
+            F.count(F.lit(1)).alias("total"),
         )
         frontier = io.materialize(new_frontier, "frontier", iteration)
         vals = obs_fr.get
         fresh_count = int(vals["fresh"])
+        frontier_rows = int(vals["total"])
         if vals["max_seq"] is not None:
             seq_counter = max(seq_counter, int(vals["max_seq"]))
         io.save_state(
@@ -799,6 +811,7 @@ def run_crawl(
                 "seq_counter": seq_counter,
                 "collected": collected,
                 "fresh_count": fresh_count,
+                "frontier_rows": frontier_rows,
                 "stats": vars(stats),
             }
         )

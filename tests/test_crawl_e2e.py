@@ -541,6 +541,19 @@ def test_politeness_impl_pandas_crawl_identical(spark):
     )
     assert vars(w.stats) == vars(w2.stats)
     assert w.iterations == w2.iterations
+    # 'auto' at threshold 0: every wave resolves to window2 (the observed
+    # frontier count is always > 0 here) — still identical
+    a = run_crawl(
+        spark,
+        CrawlJob(**kw, politeness_impl="auto", politeness_auto_threshold=0),
+        corpus,
+        robots=robots,
+    )
+    assert sorted((r.url, r.data) for r in w.results.collect()) == sorted(
+        (r.url, r.data) for r in a.results.collect()
+    )
+    assert vars(w.stats) == vars(a.stats)
+    assert w.iterations == a.iterations
 
 
 def test_opaque_url_enters_seen_never_collected(spark):

@@ -303,3 +303,17 @@ def test_run_crawl_refuses_use_robots_without_table(spark):
     job = CrawlJob(seeds=["http://h0000.example/p0"], engines=1, use_robots=True)
     with _pytest.raises(ValueError, match="robots table"):
         run_crawl(spark, job, corpus)
+
+
+def test_resolve_politeness_impl():
+    from doonop_spark.operators.schedule import resolve_politeness_impl
+
+    # explicit modes pass through untouched
+    for m in ("window", "window2", "pandas"):
+        assert resolve_politeness_impl(m, 10**9, 0) == m
+    # auto: threshold gates on the observed frontier count
+    assert resolve_politeness_impl("auto", 100, 1000) == "window"
+    assert resolve_politeness_impl("auto", 1001, 1000) == "window2"
+    assert resolve_politeness_impl("auto", 1000, 1000) == "window"  # > not >=
+    # unknown count (resume from a pre-auto state file): conservative
+    assert resolve_politeness_impl("auto", None, 1000) == "window"
