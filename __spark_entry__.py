@@ -852,6 +852,50 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # driver contract
+def _doc_link_graph(spark: SparkSession, sf_dir: str):
+    """(nodes, edges) of the pages_from_documents link graph, built by the
+    REAL extraction path: corpus html → fused Arrow extract kernel →
+    explode(links). The documents corpus links doc i → 2i+1, 2i+2 (binary
+    tree), so the oracle side has a closed form over doc_id while the
+    Spark side proves the extractor recovers exactly that graph."""
+    from doonop_spark.functions.extract import extract_page_udf
+    from doonop_spark.sources.corpus import pages_from_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = pages_from_documents(spark, docs, n_hosts=20)
+    nodes = corpus.select(F.col("url").alias("node"))
+    edges = corpus.withColumn("__p", extract_page_udf("url", "html")).select(
+        F.col("url").alias("src"), F.explode("__p.links").alias("dst")
+    )
+    return nodes, edges
+
+
+def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degrees over the extracted edge set (two hash aggs).
+    Closed-form oracle: out_deg = #children inside the tree, in_deg = 1
+    for every node but the root."""
+    from doonop_spark.operators.graph import degree_stats
+
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return degree_stats(nodes, edges).select(
+        F.col("node").alias("url"), "out_deg", "in_deg"
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-fixed-point PageRank (4 iterations, damping 0.85, scale
+    10^12) over the extracted link graph — exact BIGINT arithmetic end to
+    end, so the DuckDB oracle (the same recurrence as an unrolled CTE
+    chain) matches bit-for-bit; see operators/graph.py for why floats
+    could never be hash-compared here."""
+    from doonop_spark.operators.graph import pagerank_fixed_point
+
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return pagerank_fixed_point(nodes, edges, iterations=4).select(
+        F.col("node").alias("url"), "rank_fp"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -877,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": q_crawl_bfs,
         "warc_crawl": q_warc_crawl,
         "cdx_index": q_cdx_index,
+        "link_degrees": q_link_degrees,
+        "pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
         "token_vocab": q_token_vocab,
@@ -1389,6 +1435,61 @@ def _quality_filter_oracle_sql() -> str:
     """
 
 
+def _pagerank_sql(
+    doc_url_of, iterations: int = 4, scale: int = 10**12,
+    damping_num: int = 85, damping_den: int = 100,
+) -> str:
+    """DuckDB replay of operators/graph.py::pagerank_fixed_point as an
+    unrolled CTE chain — same integer recurrence (`//` floor-div on
+    non-negative BIGINTs ≡ Spark's truncating `div`), so ranks match
+    bit-for-bit. Every per-iteration sum is CAST back to BIGINT because
+    DuckDB widens sum(BIGINT) to HUGEINT."""
+    c = "(SELECT c FROM n)"
+    base = f"(({damping_den - damping_num} * ({scale} // {c})) // {damping_den})"
+    ctes = [
+        "n AS (SELECT count(*) AS c FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"""edges AS (
+              SELECT doc_id AS src, doc_id * 2 + 1 AS dst FROM documents
+              WHERE doc_id * 2 + 1 < {c}
+              UNION ALL
+              SELECT doc_id AS src, doc_id * 2 + 2 AS dst FROM documents
+              WHERE doc_id * 2 + 2 < {c})""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} // {c} AS BIGINT) AS rank_fp FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        ctes.append(
+            f"""d{k} AS (
+              SELECT CAST(coalesce(sum(r.rank_fp), 0) AS BIGINT) AS dang
+              FROM r{p} r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL)"""
+        )
+        ctes.append(
+            f"""i{k} AS (
+              SELECT e.dst AS node,
+                     CAST(sum(r.rank_fp // d.outdeg) AS BIGINT) AS m
+              FROM edges e
+              JOIN r{p} r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+              GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+              SELECT nd.node,
+                     CAST({base}
+                       + ({damping_num} * (coalesce(i.m, 0)
+                            + (SELECT dang FROM d{k}) // {c})) // {damping_den}
+                       AS BIGINT) AS rank_fp
+              FROM nodes nd LEFT JOIN i{k} i ON nd.node = i.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {doc_url_of('node')} AS url, rank_fp FROM r{iterations}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     doc_url = (
         "'http://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')"
@@ -1531,6 +1632,16 @@ def oracle_sql() -> dict[str, str]:
                      || '</main></body></html>') AS digest
             FROM documents
         """,
+        "link_degrees": f"""
+            WITH n AS (SELECT count(*) AS c FROM documents)
+            SELECT {doc_url} AS url,
+                   CAST(CASE WHEN doc_id * 2 + 2 < (SELECT c FROM n) THEN 2
+                             WHEN doc_id * 2 + 1 < (SELECT c FROM n) THEN 1
+                             ELSE 0 END AS BIGINT) AS out_deg,
+                   CAST(CASE WHEN doc_id = 0 THEN 0 ELSE 1 END AS BIGINT) AS in_deg
+            FROM documents
+        """,
+        "pagerank": _pagerank_sql(_doc_url_of),
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_id, count(*) AS n_dups
             FROM documents GROUP BY text
