@@ -852,6 +852,41 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # driver contract
+def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wayback-style temporal lookup through the full archive path: the
+    corpus is written twice (original capture at t0+doc_id sec, a revisit
+    at t0+3·doc_id sec), archived, CDX-indexed, and closest_capture picks
+    each SURT's capture nearest t0+300 s (ties → earlier). The revisit is
+    nearer for small doc_id, the original for large, so the oracle's CASE
+    exercises both regimes plus the tie."""
+    import shutil
+    import tempfile
+
+    from doonop_spark.sources.cdx import cdx_index, closest_capture
+    from doonop_spark.sources.corpus import pages_from_documents
+    from doonop_spark.sources.warc import write_warc_dir
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = pages_from_documents(spark, docs, n_hosts=20)
+    t0 = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    revisit = corpus.withColumn(
+        "warc_ts",
+        F.col("warc_ts")
+        + F.make_dt_interval(secs=(F.lit(2) * (F.unix_timestamp("warc_ts") - t0))),
+    )
+    warc_dir = tempfile.mkdtemp(prefix="doonop_cdx_closest_")
+    try:
+        write_warc_dir(corpus.unionByName(revisit).repartition(8), warc_dir)
+        cdx = cdx_index(spark, warc_dir + "/*.warc.gz")
+        out = closest_capture(cdx, "2024-01-01 00:05:00").select(
+            "url", "surt", "ts14", "digest"
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+    return out
+
+
 def _doc_link_graph(spark: SparkSession, sf_dir: str):
     """(nodes, edges) of the pages_from_documents link graph, built by the
     REAL extraction path: corpus html → fused Arrow extract kernel →
@@ -921,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": q_crawl_bfs,
         "warc_crawl": q_warc_crawl,
         "cdx_index": q_cdx_index,
+        "cdx_closest": q_cdx_closest,
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
@@ -1506,6 +1542,22 @@ def oracle_sql() -> dict[str, str]:
         "'http://h' || lpad(CAST((doc_id % 50) % 20 AS VARCHAR), 4, '0')"
         " || '.example/d' || CAST(doc_id % 50 AS VARCHAR)"
     )
+    surt_sql = (
+        "'example,h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')"
+        " || ')/d' || CAST(doc_id AS VARCHAR)"
+    )
+    # sha256 of the synthesized page html (pages_from_documents layout) —
+    # shared by the cdx_index and cdx_closest oracles
+    digest_sql = f"""sha256('<html><head><title>' || {doc_url}
+                     || '</title></head><body>'
+                     || (CASE WHEN doc_id * 2 + 1 < (SELECT count(*) FROM documents)
+                         THEN '<a href="' || {_doc_url_of("doc_id * 2 + 1")} || '">l</a>'
+                         ELSE '' END)
+                     || (CASE WHEN doc_id * 2 + 2 < (SELECT count(*) FROM documents)
+                         THEN '<a href="' || {_doc_url_of("doc_id * 2 + 2")} || '">l</a>'
+                         ELSE '' END)
+                     || '<main>' || replace(replace(text, '&', '&amp;'), '<', '&lt;')
+                     || '</main></body></html>')"""
     tokens = "regexp_split_to_array(trim(text), '\\s+')"
     n_words = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({tokens}) END"
     n_punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
@@ -1614,23 +1666,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT {doc_url} AS url, text AS data FROM documents
         """,
         "cdx_index": f"""
-            SELECT {doc_url} AS url,
-                   'example,h' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')
-                     || ')/d' || CAST(doc_id AS VARCHAR) AS surt,
+            SELECT {doc_url} AS url, {surt_sql} AS surt,
                    strftime(TIMESTAMP '2024-01-01 00:00:00'
                             + to_seconds(doc_id), '%Y%m%d%H%M%S') AS ts14,
                    200 AS status, 'text/html' AS mime,
-                   sha256('<html><head><title>' || {doc_url}
-                     || '</title></head><body>'
-                     || (CASE WHEN doc_id * 2 + 1 < (SELECT count(*) FROM documents)
-                         THEN '<a href="' || {_doc_url_of("doc_id * 2 + 1")} || '">l</a>'
-                         ELSE '' END)
-                     || (CASE WHEN doc_id * 2 + 2 < (SELECT count(*) FROM documents)
-                         THEN '<a href="' || {_doc_url_of("doc_id * 2 + 2")} || '">l</a>'
-                         ELSE '' END)
-                     || '<main>' || replace(replace(text, '&', '&amp;'), '<', '&lt;')
-                     || '</main></body></html>') AS digest
+                   {digest_sql} AS digest
             FROM documents
+        """,
+        "cdx_closest": f"""
+            WITH pick AS (
+              SELECT doc_id,
+                     CASE WHEN abs(3 * doc_id - 300) < abs(doc_id - 300)
+                            THEN 3 * doc_id
+                          WHEN abs(3 * doc_id - 300) > abs(doc_id - 300)
+                            THEN doc_id
+                          ELSE doc_id END AS sec
+              FROM documents)
+            SELECT {doc_url} AS url, {surt_sql} AS surt,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                            + to_seconds(p.sec), '%Y%m%d%H%M%S') AS ts14,
+                   {digest_sql} AS digest
+            FROM documents JOIN pick p USING (doc_id)
         """,
         "link_degrees": f"""
             WITH n AS (SELECT count(*) AS c FROM documents)

@@ -557,6 +557,63 @@ def polite_isolated(corpus_path: str) -> None:
     )
 
 
+def warc_throughput() -> None:
+    """WARC source/sink throughput (the round-4 ad-hoc protocol, now
+    repeatable): re-shard the synthetic corpus into 64 ``.warc.gz``
+    archives (one gzip member per record — the Common Crawl convention),
+    then measure the distributed write, the streaming parse (html bytes
+    forced so column pruning can't fake the number), and the full
+    ``warc_corpus`` scan with extraction + lang-ID riding the same pass.
+    Prints one JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from doonop_spark.sources.warc import read_warc, warc_corpus, write_warc_dir
+
+    spark = session(CPUS)
+    tmp = os.path.join(tempfile.gettempdir(), f"doonop_bench_corpus_{N_PAGES}")
+    ensure_corpus(spark, tmp, N_PAGES)
+    warc_dir = os.path.join(tempfile.gettempdir(), f"doonop_bench_warc_{N_PAGES}")
+    shutil.rmtree(warc_dir, ignore_errors=True)
+
+    corpus = spark.read.parquet(tmp).repartition(64)
+    t0 = time.monotonic()
+    n_parts = write_warc_dir(corpus, warc_dir)
+    write_s = time.monotonic() - t0
+    gz_bytes = sum(
+        os.path.getsize(os.path.join(warc_dir, f)) for f in os.listdir(warc_dir)
+    )
+    glob = os.path.join(warc_dir, "*.warc.gz")
+
+    read_warc(spark, glob).agg(F.sum(F.length("html"))).collect()  # warm-up
+    t0 = time.monotonic()
+    n = read_warc(spark, glob).count()
+    html_bytes = (
+        read_warc(spark, glob).agg(F.sum(F.length("html"))).collect()[0][0]
+    )
+    parse_s = (time.monotonic() - t0) / 2  # two identical scans above
+
+    t0 = time.monotonic()
+    warc_corpus(spark, glob).agg(
+        F.sum(F.length("text")), F.count_distinct("lang")
+    ).collect()
+    extract_s = time.monotonic() - t0
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "n_pages": N_PAGES,
+                "cpus": CPUS,
+                "n_archives": n_parts,
+                "gz_mb": round(gz_bytes / 1e6, 1),
+                "write_sec": round(write_s, 2),
+                "parse_records_per_sec": round(n / parse_s, 1),
+                "parse_gz_mb_per_sec": round(gz_bytes / 1e6 / parse_s, 1),
+                "parse_html_mb_per_sec": round(html_bytes / 1e6 / parse_s, 1),
+                "extract_records_per_sec": round(n / extract_s, 1),
+            }
+        )
+    )
+
+
 def crawl_only() -> None:
     """Crawl-variant comparison at N_PAGES (override via SPARK_GRAFT_PAGES)
     without the scaling protocol or query sweep — used for the sf1.0
@@ -612,6 +669,8 @@ if __name__ == "__main__":
         cluster_scaling()
     elif len(sys.argv) >= 2 and sys.argv[1] == "--skew":
         skew_stress()
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--warc":
+        warc_throughput()
     elif len(sys.argv) >= 3 and sys.argv[1] == "--polite":
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         polite_isolated(sys.argv[2])

@@ -65,6 +65,10 @@ __all__ = [
     "fetch_cdx",
     "write_cdxj",
     "read_cdxj",
+    "closest_capture",
+    "write_cdx_parquet",
+    "read_cdx_parquet",
+    "lookup_cdx_parquet",
 ]
 
 _log = logging.getLogger(__name__)
@@ -317,4 +321,83 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
         meta["length"].alias("length"),
         meta["offset"].alias("offset"),
         meta["filename"].alias("filename"),
+    )
+
+
+def closest_capture(cdx: DataFrame, target_ts: str) -> DataFrame:
+    """Wayback-style temporal lookup: for every SURT, the capture nearest
+    in time to ``target_ts`` (any Spark-parseable timestamp string); ties
+    break to the EARLIER capture, then ``(offset, filename)`` so the pick
+    is total-ordered and deterministic. One window over the small index
+    frame partitioned by ``surt`` — the corpus is never touched, and at
+    100 TB the per-SURT capture lists are tiny (revisit counts), so the
+    window never sees a skewed partition."""
+    from pyspark.sql import Window
+
+    diff = F.abs(
+        F.unix_timestamp(F.col("warc_ts"))
+        - F.unix_timestamp(F.lit(target_ts).cast("timestamp"))
+    )
+    w = Window.partitionBy("surt").orderBy(
+        diff.asc(), F.col("warc_ts").asc(), F.col("offset").asc(),
+        F.col("filename").asc(),
+    )
+    return (
+        cdx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def write_cdx_parquet(cdx: DataFrame, out_dir: str, n_buckets: int = 64) -> None:
+    """Columnar capture index — the Common Crawl *cc-index* analog, and
+    the form a Spark shop should actually serve lookups from. Hive-
+    partitioned parquet on ``surt_bucket = pmod(xxhash64(surt), n)`` with
+    SURT-sorted files inside each bucket, so:
+
+    - an exact-SURT probe prunes to ONE directory (partition pruning in
+      the scan, no file listing of the rest), and
+    - inside the bucket, parquet min/max stats on the sorted ``surt``
+      column skip row groups (predicate pushdown),
+
+    i.e. a lookup against the index of a 100 TB crawl touches a few MB.
+    ``repartition(n_buckets, surt_bucket)`` makes one file per directory
+    (the writer would otherwise emit one file per input task per bucket).
+    """
+    (
+        cdx.withColumn(
+            "surt_bucket", F.pmod(F.xxhash64("surt"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition(n_buckets, "surt_bucket")
+        .sortWithinPartitions("surt", "ts14")
+        .write.partitionBy("surt_bucket")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def read_cdx_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """The columnar index back as the :func:`cdx_index` frame shape
+    (plus ``surt_bucket``)."""
+    return spark.read.parquet(path)
+
+
+def lookup_cdx_parquet(
+    spark: SparkSession, path: str, surts: list[str], n_buckets: int = 64
+) -> DataFrame:
+    """Point-lookup captures for a small set of SURTs out of the columnar
+    index. Recomputes each probe's bucket driver-side (cheap: len(surts)
+    hashes via one tiny local DataFrame) and pushes BOTH predicates —
+    ``surt_bucket IN (...)`` prunes directories, ``surt IN (...)`` skips
+    row groups within them. The plan's PartitionFilters line is the
+    receipt; tests assert only the probed buckets' files are read."""
+    probe = spark.createDataFrame([(s,) for s in surts], "surt string").select(
+        F.col("surt"), F.pmod(F.xxhash64("surt"), F.lit(n_buckets)).cast("int").alias("b")
+    )
+    pairs = probe.collect()  # bounded: one row per probed SURT
+    buckets = sorted({r["b"] for r in pairs})
+    keys = sorted({r["surt"] for r in pairs})
+    df = spark.read.parquet(path)
+    return df.filter(
+        F.col("surt_bucket").isin(buckets) & F.col("surt").isin(keys)
     )

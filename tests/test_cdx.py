@@ -199,3 +199,88 @@ def test_cdxj_roundtrip_and_global_sort(spark, tmp_path):
 def test_cdx_missing_glob_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         cdx_index(spark, str(tmp_path / "nope" / "*.warc.gz"))
+
+
+def _revisit_corpus(spark, n=30):
+    """Two captures per URL: the original at t0+id sec and a revisit at
+    t0+3·id sec (different body), so closest-capture picks differ by id."""
+    base = _fixture_corpus(spark, n)
+    revisit = base.select(
+        "url",
+        (F.col("warc_ts") + F.make_dt_interval(secs=F.lit(2) * (
+            F.unix_timestamp("warc_ts")
+            - F.unix_timestamp(F.to_timestamp(F.lit("2024-03-01 00:00:00")))
+        ))).alias("warc_ts"),
+        F.encode(F.concat(F.lit("rev "), F.decode("html", "utf-8")), "utf-8").alias(
+            "html"
+        ),
+    )
+    return base.unionByName(revisit)
+
+
+def test_closest_capture_picks_nearest_tie_earlier(spark, tmp_path):
+    from doonop_spark.sources.cdx import closest_capture
+
+    corpus = _revisit_corpus(spark, n=30)
+    out = str(tmp_path / "arcs")
+    write_warc_dir(corpus.repartition(4), out)
+    cdx = cdx_index(spark, out + "/*.warc.gz")
+    # target = t0 + 30 s: original capture is at id sec, revisit at 3·id —
+    # revisit nearer for id < 15, original nearer for id > 15, tie at
+    # id 15 (both 15 s away) → earlier wins; id 0 is a same-ts tie.
+    got = closest_capture(cdx, "2024-03-01 00:00:30")
+    picked = {r.url: r.ts14 for r in got.collect()}
+    assert got.count() == 30  # exactly one row per SURT
+    for i in range(30):
+        url = f"http://h{i % 7}.example/p{i}"
+        if 0 < i < 15:
+            want = 3 * i
+        elif i == 15:
+            want = 15  # equidistant → earlier capture
+        else:
+            want = i
+        assert picked[url].endswith(f"{want // 60:02d}{want % 60:02d}"), (i, picked[url])
+
+
+def test_cdx_parquet_lookup_prunes_partitions(spark, tmp_path):
+    """The columnar index: round-trips all captures, and a point lookup
+    reads ONLY the probed buckets' files (partition pruning receipt via
+    inputFiles), returning exactly the probed SURTs' captures."""
+    from doonop_spark.sources.cdx import (
+        lookup_cdx_parquet,
+        read_cdx_parquet,
+        write_cdx_parquet,
+    )
+
+    corpus = _fixture_corpus(spark, n=60)
+    arcs = str(tmp_path / "arcs")
+    write_warc_dir(corpus.repartition(3), arcs)
+    cdx = cdx_index(spark, arcs + "/*.warc.gz")
+    idx = str(tmp_path / "ccindex")
+    write_cdx_parquet(cdx, idx, n_buckets=16)
+
+    back = read_cdx_parquet(spark, idx)
+    assert back.count() == 60
+    assert sorted(back.select("url").toPandas()["url"]) == sorted(
+        corpus.select("url").toPandas()["url"]
+    )
+
+    surts = [r.surt for r in cdx.filter(F.col("url").rlike("/p(3|41)$")).collect()]
+    hit = lookup_cdx_parquet(spark, idx, surts, n_buckets=16)
+    rows = hit.collect()
+    assert {r.surt for r in rows} == set(surts)
+    # pruning receipt: the bucket IN-list reaches the scan as a partition
+    # filter (directory pruning), the surt IN-list as a pushed data filter
+    # (row-group skipping) — same receipt style as the bucketed-fetch test
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "surt_bucket" in pf and " IN " in pf.upper()
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "In(surt" in pushed
+    # fetched pages through the pruned lookup are byte-identical
+    pages = {r.url: bytes(r.html) for r in fetch_cdx(hit).collect()}
+    want = {
+        r.url: bytes(r.html)
+        for r in corpus.filter(F.col("url").rlike("/p(3|41)$")).collect()
+    }
+    assert pages == want
