@@ -887,6 +887,38 @@ def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl scheduling off the index: archive the revisit
+    corpus (latest capture of doc d at t0+3d sec), CDX-index it, and
+    select every URL whose NEWEST capture predates t0+600 s — the
+    refresh frontier (3d < 600 ⇔ doc_id < 200). Pure index-side: the
+    corpus bytes are written but never re-read."""
+    import shutil
+    import tempfile
+
+    from doonop_spark.sources.cdx import cdx_index, recrawl_due
+    from doonop_spark.sources.corpus import pages_from_documents
+    from doonop_spark.sources.warc import write_warc_dir
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = pages_from_documents(spark, docs, n_hosts=20)
+    t0 = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    revisit = corpus.withColumn(
+        "warc_ts",
+        F.col("warc_ts")
+        + F.make_dt_interval(secs=(F.lit(2) * (F.unix_timestamp("warc_ts") - t0))),
+    )
+    warc_dir = tempfile.mkdtemp(prefix="doonop_recrawl_")
+    try:
+        write_warc_dir(corpus.unionByName(revisit).repartition(8), warc_dir)
+        cdx = cdx_index(spark, warc_dir + "/*.warc.gz")
+        out = recrawl_due(cdx, "2024-01-01 00:10:00").select("url", "surt", "ts14")
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+    return out
+
+
 def _doc_link_graph(spark: SparkSession, sf_dir: str):
     """(nodes, edges) of the pages_from_documents link graph, built by the
     REAL extraction path: corpus html → fused Arrow extract kernel →
@@ -957,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_crawl": q_warc_crawl,
         "cdx_index": q_cdx_index,
         "cdx_closest": q_cdx_closest,
+        "recrawl_due": q_recrawl_due,
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
@@ -1687,6 +1720,12 @@ def oracle_sql() -> dict[str, str]:
                             + to_seconds(p.sec), '%Y%m%d%H%M%S') AS ts14,
                    {digest_sql} AS digest
             FROM documents JOIN pick p USING (doc_id)
+        """,
+        "recrawl_due": f"""
+            SELECT {doc_url} AS url, {surt_sql} AS surt,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                            + to_seconds(3 * doc_id), '%Y%m%d%H%M%S') AS ts14
+            FROM documents WHERE 3 * doc_id < 600
         """,
         "link_degrees": f"""
             WITH n AS (SELECT count(*) AS c FROM documents)

@@ -66,6 +66,8 @@ __all__ = [
     "write_cdxj",
     "read_cdxj",
     "closest_capture",
+    "latest_capture",
+    "recrawl_due",
     "write_cdx_parquet",
     "read_cdx_parquet",
     "lookup_cdx_parquet",
@@ -400,4 +402,35 @@ def lookup_cdx_parquet(
     df = spark.read.parquet(path)
     return df.filter(
         F.col("surt_bucket").isin(buckets) & F.col("surt").isin(keys)
+    )
+
+
+def latest_capture(cdx: DataFrame) -> DataFrame:
+    """The newest capture per SURT — the index's "current state of the
+    web" view (revisits collapse to the freshest copy). Same bounded
+    window shape as :func:`closest_capture`; ties (same ``warc_ts``)
+    break to the LAST ``(offset, filename)`` so the pick is total-ordered.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt").orderBy(
+        F.col("warc_ts").desc(), F.col("offset").desc(), F.col("filename").desc()
+    )
+    return (
+        cdx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def recrawl_due(cdx: DataFrame, cutoff_ts: str) -> DataFrame:
+    """Refresh scheduling: URLs whose NEWEST capture is older than
+    ``cutoff_ts`` — the frontier feed for an incremental crawl (the
+    operational loop behind a rolling archive: index the last crawl,
+    re-seed what has gone stale). Pure index-side computation — one
+    window + one filter over ~100-byte rows; the corpus is never read.
+    The result plugs straight into ``CrawlJob.seeds``/the distributed
+    seed frontier as a ``(url)`` column."""
+    return latest_capture(cdx).filter(
+        F.col("warc_ts") < F.lit(cutoff_ts).cast("timestamp")
     )

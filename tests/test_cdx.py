@@ -284,3 +284,25 @@ def test_cdx_parquet_lookup_prunes_partitions(spark, tmp_path):
         for r in corpus.filter(F.col("url").rlike("/p(3|41)$")).collect()
     }
     assert pages == want
+
+
+def test_latest_capture_and_recrawl_due(spark, tmp_path):
+    """latest_capture collapses revisits to the freshest copy; recrawl_due
+    returns exactly the URLs whose freshest capture predates the cutoff."""
+    from doonop_spark.sources.cdx import latest_capture, recrawl_due
+
+    corpus = _revisit_corpus(spark, n=30)  # captures at id and 3·id sec
+    out = str(tmp_path / "arcs")
+    write_warc_dir(corpus.repartition(4), out)
+    cdx = cdx_index(spark, out + "/*.warc.gz")
+
+    latest = {r.url: r.ts14 for r in latest_capture(cdx).collect()}
+    assert len(latest) == 30
+    for i in range(30):
+        url = f"http://h{i % 7}.example/p{i}"
+        want = 3 * i
+        assert latest[url].endswith(f"{want // 60:02d}{want % 60:02d}"), (i, latest[url])
+
+    # cutoff t0+45 s: latest capture 3·id < 45 ⇔ id ≤ 14
+    due = {r.url for r in recrawl_due(cdx, "2024-03-01 00:00:45").collect()}
+    assert due == {f"http://h{i % 7}.example/p{i}" for i in range(15)}
