@@ -497,6 +497,9 @@ def main() -> None:
         "pack_sequences",
         "multimodal_decode_real",
         "decontaminate",
+        "quality_filter_chain",
+        "link_degrees",
+        "pagerank",
         "lifo_schedule",
         "seen_anti_join",
         "politeness_topk",
