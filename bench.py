@@ -386,6 +386,29 @@ def measure_level(cores: int, corpus_path: str) -> list[float]:
     return runs
 
 
+def _run_watchdogged(cmd: list[str], timeout_s: int = 1800):
+    """subprocess.run with the same hang protection as the --cluster
+    protocol: a rare executor task thread can block forever reading from
+    a dead python worker (BasePythonRunner$ReaderInputStream — hit again
+    this round on a --scale level, load flat at ~0 with one idle JVM).
+    Kill the level on timeout, reap the orphaned driver JVM (the killed
+    python process's java child keeps running otherwise), rerun once."""
+    import subprocess
+
+    for attempt in (0, 1):
+        try:
+            return subprocess.run(
+                cmd, capture_output=True, text=True, check=True, timeout=timeout_s
+            )
+        except subprocess.TimeoutExpired:
+            # the bench is this host's only Spark user; our own session
+            # (if any) is started only after the subprocess levels finish
+            subprocess.run(["pkill", "-9", "-f", "pyspark-shell"], capture_output=True)
+            subprocess.run(["pkill", "-9", "-f", "pyspark.daemon"], capture_output=True)
+            if attempt:
+                raise
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import subprocess
@@ -408,11 +431,8 @@ def main() -> None:
     # cluster does not — 8→32 on one JVM measures JVM contention as much as
     # the engine, and is reported alongside.
     for cores in (2, 8, CPUS):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale", str(cores), tmp_scale],
-            capture_output=True,
-            text=True,
-            check=True,
+        out = _run_watchdogged(
+            [sys.executable, os.path.abspath(__file__), "--scale", str(cores), tmp_scale]
         )
         runs = json.loads(out.stdout.strip().splitlines()[-1])
         spreads[f"local{cores}"] = [round(r, 1) for r in runs]
@@ -424,6 +444,17 @@ def main() -> None:
     eff_2_8 = (ups["local8"] / ups["local2"]) / 4
     eff_8_32 = (ups[f"local{CPUS}"] / ups["local8"]) / (CPUS / 8)
     efficiency = eff_2_8
+
+    # politeness gets its OWN process (r4 verdict #7): running it 5th in
+    # the shared session made its number swing 25% with accumulated JVM/GC
+    # state from four prior crawls. It runs HERE, before main's own
+    # session exists, so the watchdog's orphan reaping can never hit us.
+    out = _run_watchdogged(
+        [sys.executable, os.path.abspath(__file__), "--polite", tmp]
+    )
+    polite = json.loads(out.stdout.strip().splitlines()[-1])
+    timings["bfs_crawl_politeness"] = round(polite["sec"], 3)
+    timings["bfs_crawl_politeness_warmup_plain"] = round(polite["warmup_sec"], 3)
 
     # --- headline queries at full parallelism -----------------------------
     spark = session(CPUS)
@@ -461,20 +492,7 @@ def main() -> None:
     )
     assert visited_cp == visited
     timings["bfs_crawl_bloom_copart"] = round(crawl_bloom_cp_s, 3)
-    # politeness gets its OWN process (r4 verdict #7): running it 5th in
-    # this session made its number swing 25% with accumulated JVM/GC state
-    # from four prior crawls — isolate it like the scaling levels, with a
-    # plain-crawl warm-up inside the subprocess so JIT parity holds.
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--polite", tmp],
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    polite = json.loads(out.stdout.strip().splitlines()[-1])
     assert polite["visited"] == visited  # budgets defer, never drop
-    timings["bfs_crawl_politeness"] = round(polite["sec"], 3)
-    timings["bfs_crawl_politeness_warmup_plain"] = round(polite["warmup_sec"], 3)
 
     qs = entrymod.queries()
     for name in (
