@@ -937,6 +937,34 @@ def _doc_link_graph(spark: SparkSession, sf_dir: str):
     return nodes, edges
 
 
+def q_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT interchange e2e (sources/wat.py): the documents corpus is
+    materialized as Common-Crawl-style WAT metadata archives (links
+    extracted by the fused flagship kernel, JSON envelope built JVM-side),
+    streamed back, and exploded to the link-graph edge list. Closed-form
+    oracle: doc i links to 2i+1 and 2i+2 inside the tree — a hash match
+    proves envelope serialization, WARC framing, JVM-side JSON parsing,
+    AND the extraction kernel all round-trip the graph exactly."""
+    import shutil
+    import tempfile
+
+    from doonop_spark.sources.corpus import pages_from_documents
+    from doonop_spark.sources.wat import read_wat_links, write_wat
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = pages_from_documents(spark, docs, n_hosts=20)
+    wat_dir = tempfile.mkdtemp(prefix="doonop_wat_oracle_")
+    try:
+        write_wat(corpus.repartition(8), wat_dir)
+        out = read_wat_links(spark, wat_dir + "/*.warc.wat.gz").select(
+            F.col("src").alias("url"), F.col("dst").alias("link")
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(wat_dir, ignore_errors=True)
+    return out
+
+
 def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph degrees over the extracted edge set (two hash aggs).
     Closed-form oracle: out_deg = #children inside the tree, in_deg = 1
@@ -990,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "cdx_closest": q_cdx_closest,
         "recrawl_due": q_recrawl_due,
+        "wat_links": q_wat_links,
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
@@ -1726,6 +1755,17 @@ def oracle_sql() -> dict[str, str]:
                    strftime(TIMESTAMP '2024-01-01 00:00:00'
                             + to_seconds(3 * doc_id), '%Y%m%d%H%M%S') AS ts14
             FROM documents WHERE 3 * doc_id < 600
+        """,
+        "wat_links": f"""
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            kids AS (
+                SELECT doc_id, doc_id * 2 + 1 AS kid FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id * 2 + 2 AS kid FROM documents
+            )
+            SELECT {_doc_url_of("doc_id")} AS url,
+                   {_doc_url_of("kid")} AS link
+            FROM kids WHERE kid < (SELECT c FROM n)
         """,
         "link_degrees": f"""
             WITH n AS (SELECT count(*) AS c FROM documents)
