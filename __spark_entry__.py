@@ -965,6 +965,49 @@ def q_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG charset sniff (functions/encoding.py) over REAL synthesized
+    page bytes: doc_id % 4 picks the declaration style (UTF-8 BOM bytes /
+    meta charset=windows-1252 / http-equiv iso-8859-1 / none), the payload
+    is built JVM-side (unhex BOM + encoded markup), and charset_of sniffs
+    the bytes back — the oracle replays the closed form, so a hash match
+    proves BOM dispatch, the meta-tag prescan regex, and the priority
+    order on genuine binary input. Detection is a pure JVM expression
+    (plan-asserted UDF-free in tests/test_encoding.py)."""
+    from doonop_spark.functions.encoding import charset_of
+
+    docs = _read(spark, sf_dir, "documents")
+    body = F.concat(F.lit("<html><main>"), F.col("text"), F.lit("</main></html>"))
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, F.concat(F.unhex(F.lit("EFBBBF")), F.encode(body, "utf-8")))
+        .when(
+            m == 1,
+            F.encode(
+                F.concat(F.lit('<meta charset="Windows-1252">'), body), "utf-8"
+            ),
+        )
+        .when(
+            m == 2,
+            F.encode(
+                F.concat(
+                    F.lit(
+                        '<meta http-equiv="Content-Type" '
+                        'content="text/html; charset=ISO-8859-1">'
+                    ),
+                    body,
+                ),
+                "utf-8",
+            ),
+        )
+        .otherwise(F.encode(body, "utf-8"))
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(charset_of(payload), F.lit("utf-8")).alias("charset"),
+    )
+
+
 def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph degrees over the extracted edge set (two hash aggs).
     Closed-form oracle: out_deg = #children inside the tree, in_deg = 1
@@ -1019,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_closest": q_cdx_closest,
         "recrawl_due": q_recrawl_due,
         "wat_links": q_wat_links,
+        "charset_detect": q_charset_detect,
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
@@ -1755,6 +1799,15 @@ def oracle_sql() -> dict[str, str]:
                    strftime(TIMESTAMP '2024-01-01 00:00:00'
                             + to_seconds(3 * doc_id), '%Y%m%d%H%M%S') AS ts14
             FROM documents WHERE 3 * doc_id < 600
+        """,
+        "charset_detect": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN 'utf-8'
+                     WHEN 1 THEN 'windows-1252'
+                     WHEN 2 THEN 'iso-8859-1'
+                     ELSE 'utf-8' END AS charset
+            FROM documents
         """,
         "wat_links": f"""
             WITH n AS (SELECT count(*) AS c FROM documents),

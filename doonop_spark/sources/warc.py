@@ -421,16 +421,30 @@ def read_warc(
     )
 
 
-def warc_corpus(spark: SparkSession, path_glob: str) -> DataFrame:
+def warc_corpus(
+    spark: SparkSession, path_glob: str, transcode: bool = False
+) -> DataFrame:
     """WARC archives → the engine's full corpus shape (BASELINE.json
     input_hint): ``text`` via the flagship byte-exact extraction kernel,
     ``lang`` via the n-gram language heuristic — both Arrow-batched, so a
     WARC-backed crawl (`run_crawl(spark, job, warc_corpus(...))`) is
-    plan-identical to a parquet-backed one."""
+    plan-identical to a parquet-backed one.
+
+    ``transcode=True`` runs the WHATWG charset sniff
+    (``functions/encoding.py``) and re-encodes legacy-charset pages to
+    UTF-8 before extraction — real Common Crawl segments are several
+    percent windows-125x/shift_jis/gb*; without this those pages extract
+    as mojibake. Off by default: the sniff itself is JVM-only but the
+    recode pass adds an Arrow stage, and fixture corpora are pure UTF-8
+    (the byte-exact round-trip oracles require untouched bytes)."""
     from doonop_spark.functions.extract import extract_page_udf
     from doonop_spark.functions.text import lang_id_udf
 
     pages = read_warc(spark, path_glob)
+    if transcode:
+        from doonop_spark.functions.encoding import transcode_corpus
+
+        pages = transcode_corpus(pages)
     return pages.withColumn("__page", extract_page_udf("url", "html")).select(
         "url",
         "warc_ts",
