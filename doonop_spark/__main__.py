@@ -115,6 +115,13 @@ def main(argv: list[str] | None = None) -> int:
     # training-pipeline hand-off: also write collected results as WET
     # archives (conversion records; sources/warc.py) under this directory
     ext.add_argument("--wet-out")
+    # link-graph hand-off: also write the visited pages' WAT metadata
+    # records (JSON envelope with extracted outlinks; sources/wat.py)
+    ext.add_argument("--wat-out")
+    # WHATWG charset sniff + legacy-page transcode for WARC corpora
+    # (functions/encoding.py) — real Common Crawl segments are several
+    # percent non-UTF-8; parquet corpora are assumed pre-decoded
+    ext.add_argument("--transcode", action="store_true")
     ours, rest = ext.parse_known_args(argv)
 
     job = job_from_argv(rest)
@@ -159,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         # per archive file (sources/warc.py)
         from doonop_spark.sources.warc import warc_corpus
 
-        corpus = warc_corpus(spark, ours.corpus)
+        corpus = warc_corpus(spark, ours.corpus, transcode=ours.transcode)
         # WARC archives may hold several captures (revisits) of one URL;
         # the fetch keeps the latest capture per URL
         job.dedup_captures = True
@@ -211,6 +218,26 @@ def main(argv: list[str] | None = None) -> int:
         captures = corpus.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
         wet_rows = res.results.select("url", "data").join(captures, "url", "left")
         write_wet(wet_rows, ours.wet_out, text_col="data")
+
+    if ours.wat_out:
+        # WAT sink: metadata (extracted outlinks, HTTP metadata) for every
+        # VISITED page — the link-graph hand-off; latest capture per URL,
+        # mirroring the WET sink's revisit rule
+        from pyspark.sql import Window
+
+        from doonop_spark.sources.wat import write_wat
+
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        latest = (
+            corpus.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        visited = res.results.select("url").distinct()
+        write_wat(
+            latest.join(visited.hint("broadcast"), "url", "left_semi"),
+            ours.wat_out,
+        )
 
     # materialize the ordered values BEFORE stopping spark, emit AFTER —
     # Spark writes its own shutdown logs to stderr, and the reference's
