@@ -518,6 +518,8 @@ def main() -> None:
         "quality_filter_chain",
         "link_degrees",
         "pagerank",
+        "wat_links",
+        "charset_detect",
         "lifo_schedule",
         "seen_anti_join",
         "politeness_topk",
