@@ -65,6 +65,7 @@ __all__ = [
     "fetch_cdx",
     "write_cdxj",
     "read_cdxj",
+    "lookup_cdxj",
     "closest_capture",
     "latest_capture",
     "recrawl_due",
@@ -279,7 +280,21 @@ def write_cdxj(cdx: DataFrame, out_dir: str, n_shards: int | None = None) -> Non
     makes the shard order the global order and ``sortWithinPartitions``
     orders lines inside each (Common Crawl's ``cdx-NNNNN.gz`` layout), so
     a lookup binary-searches one shard. One range-shuffle of the small
-    index table; the corpus is never touched."""
+    index table; the corpus is never touched.
+
+    Alongside the shards a **secondary index** ``_cluster.idx`` is
+    written (Common Crawl's ``cluster.idx`` pattern): one line
+    ``<first_surt> <first_ts14> <shard_filename>`` per non-empty shard,
+    in shard order. :func:`lookup_cdxj` bisects it so a point lookup
+    opens only the hit shard(s) — O(1) shards per key instead of a scan
+    of all of them. The leading underscore (a deviation from CC's
+    ``cluster.idx`` name) keeps the file invisible to Spark's file
+    index, so ``read_cdxj(out_dir)`` full scans are unaffected.
+    Building it reads one line per shard driver-side — O(#shards) work
+    on a table that is already ~4 orders of magnitude smaller than the
+    corpus."""
+    import os
+
     ranged = (
         cdx.repartitionByRange(n_shards, "surt", "ts14")
         if n_shards
@@ -300,12 +315,85 @@ def write_cdxj(cdx: DataFrame, out_dir: str, n_shards: int | None = None) -> Non
         .mode("overwrite")
         .text(out_dir)
     )
+    spark = cdx.sparkSession
+    idx_lines: list[str] = []
+    for p in _glob_paths(spark, out_dir):
+        name = os.path.basename(p)
+        if not name.startswith("part-"):
+            continue
+        first = _first_line(_local_path(p))
+        if first is None:
+            continue  # empty shard (range partitioner gave it no rows)
+        surt, ts14 = first.split(" ", 2)[:2]
+        idx_lines.append(f"{surt} {ts14} {name}")
+    with open(os.path.join(_local_path(out_dir), "_cluster.idx"), "w") as f:
+        f.write("\n".join(idx_lines) + ("\n" if idx_lines else ""))
+
+
+def _first_line(path: str) -> str | None:
+    """First text line of a (possibly gzip) shard — reads one gzip block,
+    not the file."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8") as f:  # type: ignore[call-overload]
+        line = f.readline()
+    return line.rstrip("\n") or None
+
+
+def _cdxj_hit_shards(
+    idx: list[tuple[str, str, str]], surts: list[str]
+) -> list[str]:
+    """Shard filenames that can hold any of ``surts``, by bisection over
+    the (first_surt, first_ts14) shard boundaries. A key's captures live
+    in the last shard whose first key is ≤ (key, "") — plus any later
+    shards whose first key still equals the key (captures straddling a
+    shard boundary). Pure function so the boundary logic is unit-testable
+    without a filesystem."""
+    import bisect
+
+    if not idx:
+        return []
+    firsts = [(s, t) for s, t, _ in idx]
+    hits: set[int] = set()
+    for k in surts:
+        lo = max(bisect.bisect_right(firsts, (k, "")) - 1, 0)
+        hi = max(bisect.bisect_right(firsts, (k, "￿")) - 1, lo)
+        hits.update(range(lo, hi + 1))
+    return [idx[i][2] for i in sorted(hits)]
+
+
+def lookup_cdxj(spark: SparkSession, out_dir: str, surts: list[str]) -> DataFrame:
+    """Point lookup over a :func:`write_cdxj` directory: bisect
+    ``_cluster.idx`` (tiny, driver-side) to the shard(s) whose SURT range
+    covers each key, scan ONLY those files, filter to the keys. At 100 TB
+    this reads O(keys) shards of an index that is itself ~10^-4 of the
+    corpus — the cost a CDX server pays per query, never a full-index
+    scan. Result shape = :func:`read_cdxj`."""
+    import os
+
+    base = _local_path(out_dir)
+    idx: list[tuple[str, str, str]] = []
+    with open(os.path.join(base, "_cluster.idx"), encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line:
+                s, t, name = line.split(" ", 2)
+                idx.append((s, t, name))
+    files = _cdxj_hit_shards(idx, surts)
+    if not files:
+        raw = spark.createDataFrame([], "value string")
+    else:
+        raw = spark.read.text([os.path.join(out_dir, name) for name in files])
+    return _parse_cdxj(raw).filter(F.col("surt").isin(list(surts)))
 
 
 def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     """CDXJ shards → the :func:`cdx_index` frame shape (``warc_ts``
     reconstructed from ``ts14``). Plain distributed text scan."""
-    raw = spark.read.text(path)
+    return _parse_cdxj(spark.read.text(path))
+
+
+def _parse_cdxj(raw: DataFrame) -> DataFrame:
+    """``value: string`` CDXJ lines → the :func:`cdx_index` frame shape."""
     surt = F.substring_index(F.col("value"), " ", 1)
     ts14 = F.element_at(F.split(F.col("value"), " ", 3), 2)
     meta = F.from_json(

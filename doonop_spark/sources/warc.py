@@ -66,6 +66,90 @@ _CRLF = b"\r\n"
 _log = logging.getLogger(__name__)
 
 
+def _record_id(*parts: str) -> bytes:
+    """Deterministic ``WARC-Record-ID`` (RFC 4122 name-based UUID over
+    the record's identity) — deterministic so fixture archives are
+    byte-stable across runs; real WARC writers use random UUIDs, and the
+    reader accepts either."""
+    import uuid
+
+    return b"<urn:uuid:" + str(
+        uuid.uuid5(uuid.NAMESPACE_URL, " ".join(parts))
+    ).encode() + b">"
+
+
+def _sha1_b32(data: bytes) -> bytes:
+    """``sha1:<base32>`` digest label — the Common Crawl / warcio payload
+    digest convention (20 sha-1 bytes → exactly 32 base32 chars, no
+    padding)."""
+    import base64
+    import hashlib
+
+    return b"sha1:" + base64.b32encode(hashlib.sha1(data).digest())
+
+
+def _response_record_bytes(url: str, ts: str, body: bytes) -> bytes:
+    """One ``response`` record: stored HTTP/1.1 200 message wrapping
+    ``body``, with the interop headers real consumers (warcio, CDX
+    indexers) expect — ``WARC-Record-ID`` and ``WARC-Payload-Digest``
+    (sha1/base32 of the payload, the CC convention)."""
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF + body
+    )
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Date: " + ts.encode() + _CRLF
+        + b"WARC-Record-ID: " + _record_id("response", url, ts) + _CRLF
+        + b"WARC-Payload-Digest: " + _sha1_b32(body) + _CRLF
+        + b"Content-Type: application/http;msgtype=response\r\n"
+        + b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
+    )
+    return hdr + http + _CRLF + _CRLF
+
+
+def _conversion_record_bytes(url: str, ts: str, body: bytes) -> bytes:
+    """One ``conversion`` (WET extracted-text) record; the block IS the
+    payload, so the digest header is ``WARC-Block-Digest`` (the field WET
+    files carry)."""
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Date: " + ts.encode() + _CRLF
+        + b"WARC-Record-ID: " + _record_id("conversion", url, ts) + _CRLF
+        + b"WARC-Block-Digest: " + _sha1_b32(body) + _CRLF
+        + b"Content-Type: text/plain\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+    )
+    return hdr + body + _CRLF + _CRLF
+
+
+def _warcinfo_record_bytes(filename: str) -> bytes:
+    """The ``warcinfo`` record real archives open with (one per file,
+    naming the file and the writer). ``WARC-Date`` is pinned to the epoch
+    so sink output is deterministic — a deliberate deviation from live
+    writers, which stamp wall-clock; readers (ours included) treat
+    warcinfo as metadata and skip it by type."""
+    body = (
+        b"software: doonop-spark\r\n"
+        b"format: WARC File Format 1.0\r\n"
+    )
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Date: 1970-01-01T00:00:00Z\r\n"
+        b"WARC-Filename: " + filename.encode() + _CRLF
+        + b"WARC-Record-ID: " + _record_id("warcinfo", filename) + _CRLF
+        + b"Content-Type: application/warc-fields\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+    )
+    return hdr + body + _CRLF + _CRLF
+
+
 def write_warc(
     path: str,
     records: list[tuple[str, str, bytes]],
@@ -77,20 +161,7 @@ def write_warc(
     to the file handle — O(record) memory."""
     with open(path, "wb") as f:
         for url, ts, body in records:
-            http = (
-                b"HTTP/1.1 200 OK\r\n"
-                b"Content-Type: text/html\r\n"
-                b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF + body
-            )
-            hdr = (
-                b"WARC/1.0\r\n"
-                b"WARC-Type: response\r\n"
-                b"WARC-Target-URI: " + url.encode() + _CRLF
-                + b"WARC-Date: " + ts.encode() + _CRLF
-                + b"Content-Type: application/http;msgtype=response\r\n"
-                + b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
-            )
-            rec = hdr + http + _CRLF + _CRLF
+            rec = _response_record_bytes(url, ts, body)
             f.write(gzip.compress(rec, mtime=0) if compress else rec)
 
 
@@ -488,19 +559,17 @@ def write_wet(
                         if ts is not None and hasattr(ts, "strftime")
                         else "1970-01-01T00:00:00Z"
                     )
-                    hdr = (
-                        b"WARC/1.0\r\n"
-                        b"WARC-Type: conversion\r\n"
-                        b"WARC-Target-URI: " + str(url).encode() + _CRLF
-                        + b"WARC-Date: " + ts_s.encode() + _CRLF
-                        + b"Content-Type: text/plain\r\n"
-                        + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
-                    )
                     if f is None:  # lazy: empty partitions write no file
-                        f = open(
-                            os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz"), "wb"
+                        name = f"part-{pid:05d}.warc.wet.gz"
+                        f = open(os.path.join(out_dir, name), "wb")
+                        f.write(
+                            gzip.compress(_warcinfo_record_bytes(name), mtime=0)
                         )
-                    f.write(gzip.compress(hdr + body + _CRLF + _CRLF, mtime=0))
+                    f.write(
+                        gzip.compress(
+                            _conversion_record_bytes(str(url), ts_s, body), mtime=0
+                        )
+                    )
                     n += 1
         finally:
             if f is not None:
@@ -564,23 +633,17 @@ def write_warc_dir(
                         if ts is not None and hasattr(ts, "strftime")
                         else "1970-01-01T00:00:00Z"
                     )
-                    http = (
-                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                        b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
-                        + body
-                    )
-                    hdr = (
-                        b"WARC/1.0\r\nWARC-Type: response\r\n"
-                        b"WARC-Target-URI: " + str(url).encode() + _CRLF
-                        + b"WARC-Date: " + ts_s.encode() + _CRLF
-                        + b"Content-Type: application/http;msgtype=response\r\n"
-                        + b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
-                    )
                     if f is None:
-                        f = open(
-                            os.path.join(out_dir, f"part-{pid:05d}.warc.gz"), "wb"
+                        name = f"part-{pid:05d}.warc.gz"
+                        f = open(os.path.join(out_dir, name), "wb")
+                        f.write(
+                            gzip.compress(_warcinfo_record_bytes(name), mtime=0)
                         )
-                    f.write(gzip.compress(hdr + http + _CRLF + _CRLF, mtime=0))
+                    f.write(
+                        gzip.compress(
+                            _response_record_bytes(str(url), ts_s, body), mtime=0
+                        )
+                    )
                     n += 1
         finally:
             if f is not None:

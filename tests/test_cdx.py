@@ -17,6 +17,7 @@ from doonop_spark.sources.cdx import (
     cdx_index,
     fetch_cdx,
     iter_gzip_members,
+    lookup_cdxj,
     read_cdxj,
     read_warc_record,
     write_cdxj,
@@ -306,3 +307,74 @@ def test_latest_capture_and_recrawl_due(spark, tmp_path):
     # cutoff t0+45 s: latest capture 3·id < 45 ⇔ id ≤ 14
     due = {r.url for r in recrawl_due(cdx, "2024-03-01 00:00:45").collect()}
     assert due == {f"http://h{i % 7}.example/p{i}" for i in range(15)}
+
+
+def test_cdxj_cluster_idx_and_lookup(spark, tmp_path):
+    """write_cdxj emits a _cluster.idx secondary index (one sorted line
+    per non-empty shard); lookup_cdxj answers a point query from ONLY the
+    hit shard files (inputFiles ⊂ shard set) with exactly the rows a full
+    scan + filter yields."""
+    import glob
+    import os
+
+    corpus = _fixture_corpus(spark, n=50)
+    arcs = str(tmp_path / "arcs")
+    write_warc_dir(corpus.repartition(3), arcs)
+    cdx = cdx_index(spark, arcs + "/*.warc.gz")
+    jdir = str(tmp_path / "cdxj")
+    write_cdxj(cdx, jdir, n_shards=4)
+
+    idx_path = os.path.join(jdir, "_cluster.idx")
+    assert os.path.exists(idx_path)
+    with open(idx_path) as f:
+        idx_lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    shards = sorted(os.path.basename(p) for p in glob.glob(jdir + "/part-*"))
+    assert 1 <= len(idx_lines) <= len(shards)
+    keys = [tuple(ln.split(" ", 2)[:2]) for ln in idx_lines]
+    assert keys == sorted(keys)  # shard order IS the global order
+    names = [ln.split(" ", 2)[2] for ln in idx_lines]
+    assert names == sorted(names) and set(names) <= set(shards)
+    # each index line really is its shard's first line
+    for ln in idx_lines:
+        s, t, name = ln.split(" ", 2)
+        with gzip.open(os.path.join(jdir, name), "rt") as f:
+            first = f.readline()
+        assert first.startswith(f"{s} {t} ")
+
+    some = [r.surt for r in cdx.select("surt").distinct().limit(3).collect()]
+    hit = lookup_cdxj(spark, jdir, some)
+    want = sorted(
+        map(tuple, read_cdxj(spark, jdir).filter(F.col("surt").isin(some)).collect())
+    )
+    got = sorted(map(tuple, hit.collect()))
+    assert got == want and len(got) > 0
+    # pruning: the lookup scanned a strict subset of the shard files
+    scanned = {os.path.basename(p) for p in hit.inputFiles()}
+    assert scanned <= set(names)
+    if len(idx_lines) > 1:
+        assert len(scanned) < len(idx_lines)
+
+    # miss: a key below every shard boundary returns empty, scanning ≤1 shard
+    miss = lookup_cdxj(spark, jdir, ["aaaaa,nonexistent)/"])
+    assert miss.count() == 0
+
+
+def test_cdxj_hit_shards_boundaries():
+    """Pure bisection logic: keys below/above all boundaries, interior
+    keys, and a key that IS a shard's first (straddle → both shards)."""
+    from doonop_spark.sources.cdx import _cdxj_hit_shards
+
+    idx = [
+        ("b,example)/", "20240101000000", "part-0"),
+        ("d,example)/", "20240101000000", "part-1"),
+        ("d,example)/", "20240101000500", "part-2"),
+        ("f,example)/", "20240101000000", "part-3"),
+    ]
+    assert _cdxj_hit_shards(idx, ["a,example)/"]) == ["part-0"]  # below all
+    assert _cdxj_hit_shards(idx, ["c,example)/"]) == ["part-0"]  # interior
+    # key equal to a boundary first: captures may straddle the previous
+    # shard's tail and BOTH shards opening with the key
+    assert _cdxj_hit_shards(idx, ["d,example)/"]) == ["part-0", "part-1", "part-2"]
+    assert _cdxj_hit_shards(idx, ["z,example)/"]) == ["part-3"]  # above all
+    assert _cdxj_hit_shards(idx, ["a,x)/", "z,x)/"]) == ["part-0", "part-3"]
+    assert _cdxj_hit_shards([], ["anything"]) == []

@@ -373,3 +373,63 @@ def test_cli_wet_out_sink(spark, tmp_path):
         "http://localhost:8000/basic/about.html": "http://localhost:8000/basic/about.html",
     }
     assert all(r.warc_ts is not None for r in back.collect())
+
+
+def test_warc_sink_interop_headers(spark, tmp_path):
+    """Sink fidelity (the headers real WARC consumers expect): every part
+    file opens with a warcinfo record naming itself; every response
+    record carries a urn:uuid WARC-Record-ID and a WARC-Payload-Digest
+    that verifies (sha1/base32 of the payload, the CC convention); WET
+    conversion records carry a verifying WARC-Block-Digest. The readers
+    skip warcinfo by type, so round-trips are unchanged."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from doonop_spark.sources.warc import (
+        _http_body,
+        _iter_warc_raw,
+        _sha1_b32,
+        write_warc_dir,
+        write_wet,
+    )
+
+    corpus = spark.range(0, 12).select(
+        F.concat(F.lit("http://h.example/p"), F.col("id")).alias("url"),
+        F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html>page "), F.col("id")), "utf-8").alias("html"),
+        F.concat(F.lit("page "), F.col("id")).alias("text"),
+    )
+    adir, wdir = str(tmp_path / "arcs"), str(tmp_path / "wet")
+    write_warc_dir(corpus.repartition(3), adir)
+    write_wet(corpus.repartition(2), wdir)
+
+    uuid_re = re.compile(rb"^<urn:uuid:[0-9a-f-]{36}>$")
+    n_resp = n_conv = 0
+    for d, want_type, digest_hdr in (
+        (adir, "response", "warc-payload-digest"),
+        (wdir, "conversion", "warc-block-digest"),
+    ):
+        for name in sorted(os.listdir(d)):
+            with gzip.open(os.path.join(d, name), "rb") as fh:
+                recs = list(_iter_warc_raw(fh))
+            assert recs[0][2]["warc-type"] == "warcinfo"
+            assert recs[0][2]["warc-filename"] == name
+            assert b"software: doonop-spark" in recs[0][3]
+            for _o, _s, hdrs, block in recs[1:]:
+                assert hdrs["warc-type"] == want_type
+                assert uuid_re.match(hdrs["warc-record-id"].encode())
+                payload = _http_body(block) if want_type == "response" else block
+                assert hdrs[digest_hdr].encode() == _sha1_b32(payload)
+                n_resp += want_type == "response"
+                n_conv += want_type == "conversion"
+    assert n_resp == 12 and n_conv == 12
+
+    # reader round-trip unchanged: warcinfo skipped by type
+    from doonop_spark.sources.warc import read_warc, read_wet
+
+    back = {r.url: bytes(r.html) for r in read_warc(spark, adir + "/*.warc.gz").collect()}
+    assert back == {r.url: bytes(r.html) for r in corpus.collect()}
+    wet = {r.url: r.text for r in read_wet(spark, wdir + "/*.wet.gz").collect()}
+    assert wet == {r.url: r.text for r in corpus.collect()}
