@@ -274,6 +274,42 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdxj_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the full CDXJ interchange path
+    (sources/cdx.py): corpus → archives → cdx_index → write_cdxj
+    (SURT-range shards + the ``_cluster.idx`` secondary index) →
+    lookup_cdxj for every 50th document's SURT. The lookup bisects the
+    cluster index and scans ONLY the hit shards (tests/test_cdx.py pins
+    the pruning via inputFiles); a hash match here proves the sharded
+    text round-trip and the bisection return exactly the captures the
+    oracle computes closed-form. The key list is driver-side by design —
+    it is the CDX client's query argument, one string per lookup."""
+    import shutil
+    import tempfile
+
+    from doonop_spark.sources.cdx import cdx_index, lookup_cdxj, write_cdxj
+    from doonop_spark.sources.corpus import pages_from_documents
+    from doonop_spark.sources.warc import write_warc_dir
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = pages_from_documents(spark, docs, n_hosts=20)
+    n = docs.count()
+    keys = [f"example,h{i % 20:04d})/d{i}" for i in range(0, n, 50)]
+    tmp = tempfile.mkdtemp(prefix="doonop_cdxj_lookup_")
+    try:
+        adir, jdir = tmp + "/arcs", tmp + "/cdxj"
+        write_warc_dir(corpus.repartition(8), adir)
+        write_cdxj(cdx_index(spark, adir + "/*.warc.gz"), jdir, n_shards=8)
+        out = (
+            lookup_cdxj(spark, jdir, keys)
+            .select("url", "surt", "ts14", "status", "mime", "digest")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # training-data operator suite
 # ---------------------------------------------------------------------------
@@ -1059,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": q_crawl_bfs,
         "warc_crawl": q_warc_crawl,
         "cdx_index": q_cdx_index,
+        "cdxj_lookup": q_cdxj_lookup,
         "cdx_closest": q_cdx_closest,
         "recrawl_due": q_recrawl_due,
         "wat_links": q_wat_links,
@@ -1778,6 +1815,15 @@ def oracle_sql() -> dict[str, str]:
                    200 AS status, 'text/html' AS mime,
                    {digest_sql} AS digest
             FROM documents
+        """,
+        "cdxj_lookup": f"""
+            SELECT {doc_url} AS url, {surt_sql} AS surt,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                            + to_seconds(doc_id), '%Y%m%d%H%M%S') AS ts14,
+                   200 AS status, 'text/html' AS mime,
+                   {digest_sql} AS digest
+            FROM documents
+            WHERE doc_id % 50 = 0
         """,
         "cdx_closest": f"""
             WITH pick AS (
