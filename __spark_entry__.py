@@ -1070,6 +1070,62 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text normalization: control-strip → NFC compose →
+    whitespace collapse → trim. Non-ASCII material is synthesized
+    deterministically (combining acute/diaeresis, a bell control, tab
+    runs, trailing spaces by doc_id%4) so the NFC path is actually
+    exercised; the oracle replays the pipeline with DuckDB's
+    ``nfc_normalize`` — a value match proves Python's unicodedata and
+    DuckDB compose identically AND the ASCII-gated UDF never touches
+    pass-through rows' bytes."""
+    from doonop_spark.functions.text import normalize_text_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit(" café "),            # combining acute -> café
+            F.lit(" \x07Ä\t\tb"),       # bell control, combining diaeresis, tab run
+            F.lit("  trailing   "),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    norm = normalize_text_expr(F.concat(F.col("text"), suffix))
+    return docs.select("doc_id", norm.alias("norm_text")).select(
+        "doc_id", "norm_text", F.length("norm_text").alias("n_chars_norm")
+    )
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus rollup (the Common-Crawl host-stats artifact):
+    one map-side-combinable hash agg keyed on the JVM-extracted host."""
+    from doonop_spark.operators.corpusstats import host_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.select(
+        _doc_url(F.col("doc_id")).alias("url"), "text", "lang"
+    )
+    return host_stats(corpus)
+
+
+def q_indegree_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-first frontier selection: top-k unvisited URLs by
+    harvested in-degree (OPIC-lite). The edge set is a deterministic
+    hub-skewed graph (dst = doc_id % 23 for doc_id >= 23) so in-degrees
+    actually vary; ties break on url, making the top-k total-ordered and
+    exactly oracle-able."""
+    from doonop_spark.operators.schedule import indegree_priority
+
+    docs = _read(spark, sf_dir, "documents")
+    frontier = docs.select(_doc_url(F.col("doc_id")).alias("url"))
+    links = docs.filter(F.col("doc_id") >= 23).select(
+        _doc_url(F.col("doc_id")).alias("src"),
+        _doc_url(F.col("doc_id") % 23).alias("dst"),
+    )
+    return indegree_priority(frontier, links, k=50)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1102,6 +1158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detect": q_charset_detect,
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
+        "text_normalize": q_text_normalize,
+        "host_stats": q_host_stats,
+        "indegree_priority": q_indegree_priority,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
         "token_vocab": q_token_vocab,
@@ -1876,6 +1935,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pagerank": _pagerank_sql(_doc_url_of),
+        # NFC replay: chr(769)=U+0301 combining acute, chr(776)=U+0308
+        # combining diaeresis, chr(7)=BEL (stripped), chr(9)=TAB
+        # (collapsed) — built with chr() so the oracle's decomposed forms
+        # can never be silently NFC'd by an editor/transport
+        "text_normalize": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN ''
+                       WHEN 1 THEN ' cafe' || chr(769) || ' '
+                       WHEN 2 THEN ' ' || chr(7) || 'A' || chr(776)
+                                 || chr(9) || chr(9) || 'b'
+                       ELSE '  trailing   ' END AS t
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       nfc_normalize(regexp_replace(
+                         t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+                       '\\s+', ' ', 'g')) AS norm_text
+              FROM aug
+            )
+            SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm
+            FROM norm
+        """,
+        "host_stats": f"""
+            SELECT regexp_extract({doc_url}, '^[a-z]+://([^/]+)', 1) AS host,
+                   count(*) AS n_pages,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST(sum(CASE WHEN {is_quality} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_quality
+            FROM documents GROUP BY 1
+        """,
+        "indegree_priority": f"""
+            WITH indeg AS (
+              SELECT {_doc_url_of("doc_id % 23")} AS url, count(*) AS in_deg
+              FROM documents WHERE doc_id >= 23 GROUP BY 1
+            )
+            SELECT d.url, COALESCE(i.in_deg, 0) AS in_deg
+            FROM (SELECT {doc_url} AS url FROM documents) d
+            LEFT JOIN indeg i USING (url)
+            ORDER BY in_deg DESC, url ASC
+            LIMIT 50
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_id, count(*) AS n_dups
             FROM documents GROUP BY text

@@ -32,6 +32,8 @@ __all__ = [
     "lang_id_udf",
     "winnow_fingerprint_udf",
     "content_hash_expr",
+    "nfc_normalize_udf",
+    "normalize_text_expr",
 ]
 
 _WS = r"\s+"
@@ -275,3 +277,41 @@ def winnow_fingerprint_udf(text: pd.Series) -> pd.Series:
 def content_hash_expr(text: Column) -> Column:
     """Exact-dup key: xxhash64 of the raw text (JVM)."""
     return F.xxhash64(text)
+
+
+# ASCII control characters a training corpus never wants (C0 minus
+# \t\n\r, plus DEL). \x0B/\x0C are stripped here so the whitespace
+# collapse below never depends on whether a regex engine's \s includes
+# vertical tab (Java's does, RE2's does not — keeping them out of \s is
+# what makes the pipeline exactly oracle-checkable).
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC composition, Arrow-batched (no JVM builtin exists).
+    NULL in → NULL out, so callers can gate the UDF's INPUT on an
+    ASCII-ness test and pass-through rows cost nothing here."""
+    import unicodedata
+
+    return text.map(
+        lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+    )
+
+
+def normalize_text_expr(text: Column) -> Column:
+    """Training-data text normalization: strip ASCII control characters,
+    compose to Unicode NFC, collapse whitespace runs to single spaces,
+    trim. Everything but NFC is JVM whole-stage codegen; NFC is identity
+    on ASCII, so the Arrow round-trip is gated on a JVM ``rlike`` and the
+    (typically ~95% on web text) pure-ASCII rows never enter the UDF
+    input — the same input-gating shape as
+    ``functions.encoding.transcode_corpus``."""
+    stripped = F.regexp_replace(text, CONTROL_CLASS, "")
+    needs_nfc = stripped.rlike(r"[^\x00-\x7F]")
+    # a When AROUND a pandas UDF still evaluates it over the whole batch;
+    # the skip must happen in the UDF's input (NULL for pass-through rows)
+    composed = F.when(needs_nfc, nfc_normalize_udf(F.when(needs_nfc, stripped))).otherwise(
+        stripped
+    )
+    return F.trim(F.regexp_replace(composed, r"\s+", " "))

@@ -38,6 +38,7 @@ __all__ = [
     "politeness_budget",
     "salt_for_skew",
     "resolve_politeness_impl",
+    "indegree_priority",
 ]
 
 _log = __import__("logging").getLogger(__name__)
@@ -287,3 +288,39 @@ def salt_for_skew(wave: DataFrame, target_rows: int) -> DataFrame:
     )
     n_shards = max(wave.sparkSession.sparkContext.defaultParallelism, 1)
     return salted.repartition(n_shards, "host", "__salt").drop("__nsalt", "__salt")
+
+
+def indegree_priority(
+    frontier: DataFrame,
+    links: DataFrame,
+    k: int,
+    url_col: str = "url",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Importance-first frontier selection (OPIC-lite): rank unvisited
+    URLs by the in-degree harvested so far and dispatch the global top-k
+    — the classic "crawl the most-linked pages first" policy, offered as
+    an alternative ordering to the reference's LIFO stack (O1,
+    ``src/workload.rs:230``; the reference has exactly one order, this is
+    a north-star extension).
+
+    Scale shape: the in-degree is ONE map-side-combinable hash agg over
+    the edge list (shuffle carries distinct (url, partial-count) rows,
+    never the edges); the frontier joins it with a shuffled hash join on
+    the url key; the top-k is ``orderBy(...).limit(k)`` which Spark plans
+    as TakeOrderedAndProject — per-partition top-k then a k-row driver
+    merge, never a global sort. Ties break on the URL so the selection is
+    total-ordered and exactly reproducible.
+
+    Returns ``(url, in_deg)`` for the k selected URLs.
+    """
+    indeg = links.groupBy(F.col(dst_col).alias(url_col)).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        frontier.select(url_col)
+        .join(indeg, url_col, "left")
+        .na.fill({"in_deg": 0})
+        .orderBy(F.col("in_deg").desc(), F.col(url_col).asc())
+        .limit(k)
+    )
