@@ -520,6 +520,9 @@ def main() -> None:
         "pagerank",
         "wat_links",
         "charset_detect",
+        "text_normalize",
+        "host_stats",
+        "indegree_priority",
         "lifo_schedule",
         "seen_anti_join",
         "politeness_topk",
