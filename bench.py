@@ -47,6 +47,37 @@ N_PAGES = int(
 SCALE_PAGES = N_PAGES * 4
 N_HOSTS = 50
 SCALE_RUNS = 5
+# per-level time budget for the TIMED runs (warmups excluded): hosts vary
+# >2x in per-core speed across rounds, and a fixed run count that fits one
+# host can blow a wall-clock watchdog on the next. At least MIN_SCALE_RUNS
+# samples are always taken; up to SCALE_RUNS when the budget allows.
+SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "900"))
+MIN_SCALE_RUNS = 2
+
+
+def _budgeted_runs(fn, max_runs: int, budget_s: float, min_runs: int = MIN_SCALE_RUNS):
+    """Run ``fn`` up to ``max_runs`` times, stopping early (but never below
+    ``min_runs``) once ``budget_s`` of measured time has elapsed — the
+    sample count adapts to the host's speed instead of assuming it."""
+    runs = []
+    t0 = time.monotonic()
+    while len(runs) < max_runs:
+        runs.append(fn())
+        if len(runs) >= min_runs and time.monotonic() - t0 > budget_s:
+            break
+    return runs
+
+
+def _warmups(fn, full_warmups: int = 2, slow_run_s: float = 180.0) -> None:
+    """JIT/Python-worker convergence warmups. A second warmup only pays
+    when runs are short (convergence effects are a fixed cost — on a host
+    where one run takes 3+ minutes the first run already amortizes them,
+    and the extra warmup just burns watchdog budget)."""
+    for i in range(full_warmups):
+        t0 = time.monotonic()
+        fn()
+        if time.monotonic() - t0 >= slow_run_s:
+            break
 
 
 def session(cores: int) -> SparkSession:
@@ -105,10 +136,10 @@ def session_cluster(n_exec: int, cores_per_exec: int, mem_mb: int = 3072) -> Spa
 def measure_level_cluster(
     n_exec: int, cores_per_exec: int, corpus_path: str
 ) -> list[float]:
-    """measure_level under local-cluster: same protocol (2 warmups +
-    SCALE_RUNS samples over a persisted corpus), executors in separate
-    JVM processes. The corpus must already exist (built by a local[] run
-    first — generation is excluded from timing either way)."""
+    """measure_level under local-cluster: same adaptive protocol (warmups
+    + time-budgeted samples over a persisted corpus), executors in
+    separate JVM processes. The corpus must already exist (built by a
+    local[] run first — generation is excluded from timing either way)."""
     from pyspark import StorageLevel
 
     spark = session_cluster(n_exec, cores_per_exec)
@@ -120,9 +151,12 @@ def measure_level_cluster(
     # in the OS page cache anyway
     corpus = spark.read.parquet(corpus_path).persist(StorageLevel.DISK_ONLY)
     corpus.count()
-    for _ in range(2):
-        frontier_throughput(spark, corpus, SCALE_PAGES)
-    runs = [frontier_throughput(spark, corpus, SCALE_PAGES) for _ in range(SCALE_RUNS)]
+    _warmups(lambda: frontier_throughput(spark, corpus, SCALE_PAGES))
+    runs = _budgeted_runs(
+        lambda: frontier_throughput(spark, corpus, SCALE_PAGES),
+        SCALE_RUNS,
+        SCALE_BUDGET_S,
+    )
     spark.stop()
     return runs
 
@@ -134,7 +168,6 @@ def cluster_scaling() -> None:
     whether the single-JVM 8→32 knee persists when JVMs are separate.
     Each level runs in its own OS process. Prints one JSON line."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import subprocess
 
     tmp_scale = os.path.join(
         tempfile.gettempdir(), f"doonop_bench_corpus_{SCALE_PAGES}"
@@ -150,32 +183,18 @@ def cluster_scaling() -> None:
     for n_exec, cpe in levels:
         if n_exec * cpe > CPUS:
             continue
-        # watchdog + one retry: a rare executor-side hang (task thread
-        # blocked forever in BasePythonRunner reading a dead python
-        # worker; observed twice across rounds) would otherwise stall the
-        # whole protocol — kill the level and rerun it once
-        for attempt in (0, 1):
-            try:
-                out = subprocess.run(
-                    [
-                        sys.executable, os.path.abspath(__file__),
-                        "--scale-cluster", str(n_exec), str(cpe), tmp_scale,
-                    ],
-                    capture_output=True,
-                    text=True,
-                    check=True,
-                    timeout=1800,
-                )
-                break
-            except subprocess.TimeoutExpired:
-                # reap orphaned executor JVMs of the killed level (the
-                # bench is this host's only local-cluster user)
-                subprocess.run(
-                    ["pkill", "-9", "-f", "CoarseGrainedExecutorBackend"],
-                    capture_output=True,
-                )
-                if attempt:
-                    raise
+        # activity-based watchdog + one retry: a rare executor-side hang
+        # (task thread blocked forever in BasePythonRunner reading a dead
+        # python worker; observed twice across rounds) would otherwise
+        # stall the whole protocol — _run_watchdogged kills on sustained
+        # idleness (never on a slow-but-working level), reaps the orphaned
+        # JVMs, and reruns once
+        out = _run_watchdogged(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--scale-cluster", str(n_exec), str(cpe), tmp_scale,
+            ]
+        )
         runs = json.loads(out.stdout.strip().splitlines()[-1])
         key = f"exec{n_exec}x{cpe}"
         spreads[key] = [round(r, 1) for r in runs]
@@ -372,46 +391,142 @@ def bfs_crawl_seconds(
 
 
 def measure_level(cores: int, corpus_path: str) -> list[float]:
-    """One parallelism level: 2 warmups + SCALE_RUNS URLs/sec samples over
-    a persisted corpus (JIT + Python-worker spawn converge only after a
-    couple of full runs — measured)."""
+    """One parallelism level: warmups (JIT + Python-worker spawn converge
+    only after a couple of full runs — measured; the second is skipped when
+    one run already takes 3+ minutes) + up to SCALE_RUNS URLs/sec samples
+    over a persisted corpus, stopping at the SCALE_BUDGET_S time budget
+    (min 2 samples) so the level completes on slow hosts too."""
     spark = session(cores)
     ensure_corpus(spark, corpus_path, SCALE_PAGES)
     corpus = spark.read.parquet(corpus_path).persist()
     corpus.count()
-    for _ in range(2):  # JIT/worker convergence takes ~2 full runs (measured)
-        frontier_throughput(spark, corpus, SCALE_PAGES)
-    runs = [frontier_throughput(spark, corpus, SCALE_PAGES) for _ in range(SCALE_RUNS)]
+    _warmups(lambda: frontier_throughput(spark, corpus, SCALE_PAGES))
+    runs = _budgeted_runs(
+        lambda: frontier_throughput(spark, corpus, SCALE_PAGES),
+        SCALE_RUNS,
+        SCALE_BUDGET_S,
+    )
     spark.stop()
     return runs
 
 
-def _run_watchdogged(cmd: list[str], timeout_s: int = 1800):
-    """subprocess.run with the same hang protection as the --cluster
-    protocol: a rare executor task thread can block forever reading from
-    a dead python worker (BasePythonRunner$ReaderInputStream — hit again
-    this round on a --scale level, load flat at ~0 with one idle JVM).
-    Kill the level on timeout, reap the orphaned driver JVM (the killed
-    python process's java child keeps running otherwise), rerun once."""
+def _tree_cpu_jiffies(root_pid: int) -> int:
+    """Total utime+stime jiffies of ``root_pid`` and every descendant
+    (from /proc — Linux-only, like the rest of the bench's profiling). A
+    Spark level is a python driver + java JVM(s) + python workers; hang
+    detection must see the whole tree, not just the direct child."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as fh:
+                stat = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced a process exit
+        # comm (field 2) may contain spaces/parens; fields resume after ')'
+        try:
+            rest = stat[stat.rindex(")") + 2 :].split()
+            ppid, utime, stime = int(rest[1]), int(rest[11]), int(rest[12])
+        except (ValueError, IndexError):
+            continue
+        procs[int(d)] = (ppid, utime + stime)
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [root_pid]
+    while stack:
+        pid = stack.pop()
+        if pid in procs:
+            total += procs[pid][1]
+            stack.extend(children.get(pid, []))
+    return total
+
+
+def _reap_spark_orphans() -> None:
+    # the bench is this host's only Spark user; our own session (if any)
+    # is started only after the subprocess levels finish
     import subprocess
 
+    for pat in ("pyspark-shell", "pyspark.daemon", "CoarseGrainedExecutorBackend"):
+        subprocess.run(["pkill", "-9", "-f", pat], capture_output=True)
+
+
+def _run_watchdogged(
+    cmd: list[str],
+    timeout_s: int = 5400,
+    idle_kill_s: int = 600,
+    poll_s: float = 15.0,
+    reap=None,
+):
+    """subprocess.run with ACTIVITY-BASED hang protection: a rare executor
+    task thread can block forever reading from a dead python worker
+    (BasePythonRunner$ReaderInputStream — hit across several rounds; the
+    signature is host load flat at ~0 with one idle JVM). A fixed
+    wall-clock timeout can't distinguish that hang from a healthy run on a
+    slow host (round 5: a 1800 s timeout killed a working local[2] level
+    TWICE — hosts vary >2x per-core across rounds), so the level is killed
+    only when its whole process tree has used <~5% of one core for
+    ``idle_kill_s`` — or after ``timeout_s`` as the absolute backstop.
+    Kill reaps the orphaned Spark JVMs, then reruns once."""
+    import subprocess
+    from types import SimpleNamespace
+
+    # ≥5% of one core over a poll interval counts as alive (an idle JVM's
+    # GC/timer threads tick well under this; any real Spark stage far over)
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    alive_jiffies = int(0.05 * poll_s * hz)
+
     for attempt in (0, 1):
-        try:
-            return subprocess.run(
-                cmd, capture_output=True, text=True, check=True, timeout=timeout_s
+        with tempfile.TemporaryFile(mode="w+") as out_f, tempfile.TemporaryFile(
+            mode="w+"
+        ) as err_f:
+            proc = subprocess.Popen(cmd, stdout=out_f, stderr=err_f, text=True)
+            start = last_active = time.monotonic()
+            last_j = _tree_cpu_jiffies(proc.pid)
+            killed = None
+            while True:
+                try:
+                    proc.wait(timeout=poll_s)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                now = time.monotonic()
+                j = _tree_cpu_jiffies(proc.pid)
+                if j - last_j >= alive_jiffies:
+                    last_active = now
+                last_j = j
+                if now - last_active > idle_kill_s:
+                    killed = f"idle {idle_kill_s}s (dead-worker hang signature)"
+                elif now - start > timeout_s:
+                    killed = f"absolute timeout {timeout_s}s"
+                if killed:
+                    proc.kill()
+                    proc.wait()
+                    break
+            if killed is None and proc.returncode == 0:
+                out_f.seek(0)
+                err_f.seek(0)
+                return SimpleNamespace(
+                    stdout=out_f.read(), stderr=err_f.read(), returncode=0
+                )
+            err_f.seek(0)
+            tail = err_f.read()[-2000:]
+            print(
+                f"watchdog: level attempt {attempt} failed "
+                f"({killed or f'exit {proc.returncode}'}); stderr tail:\n{tail}",
+                file=sys.stderr,
             )
-        except subprocess.TimeoutExpired:
-            # the bench is this host's only Spark user; our own session
-            # (if any) is started only after the subprocess levels finish
-            subprocess.run(["pkill", "-9", "-f", "pyspark-shell"], capture_output=True)
-            subprocess.run(["pkill", "-9", "-f", "pyspark.daemon"], capture_output=True)
-            if attempt:
-                raise
+        (_reap_spark_orphans if reap is None else reap)()
+        if attempt:
+            raise RuntimeError(
+                f"bench level failed twice: {cmd} ({killed or 'nonzero exit'})"
+            )
 
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import subprocess
 
     import __spark_entry__ as entrymod
 
@@ -430,6 +545,12 @@ def main() -> None:
     # one JVM (shuffle service, GC, block manager), which a real 4N-executor
     # cluster does not — 8→32 on one JVM measures JVM contention as much as
     # the engine, and is reported alongside.
+    if not os.path.exists(os.path.join(tmp_scale, "_SUCCESS")):
+        # pre-build the scale corpus at full parallelism: generation is
+        # excluded from timing, so don't pay for it at local[2]
+        spark = session(CPUS)
+        ensure_corpus(spark, tmp_scale, SCALE_PAGES)
+        spark.stop()
     for cores in (2, 8, CPUS):
         out = _run_watchdogged(
             [sys.executable, os.path.abspath(__file__), "--scale", str(cores), tmp_scale]
