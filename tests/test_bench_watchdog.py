@@ -67,7 +67,12 @@ def test_tree_cpu_jiffies_sees_busy_descendants():
     import subprocess
 
     # grandchild spinner: the busy process is NOT the direct child, so a
-    # pass proves the ppid-tree walk (java under python under the bench)
+    # pass proves the ppid-tree walk (java under python under the bench).
+    # start_new_session puts child AND grandchild in one process group so
+    # teardown can killpg them atomically — TERMing the middle process
+    # first reparents the spinner to init before any pkill -P can match
+    # it, orphaning a core-burning loop that poisons every later benchmark
+    # on the host (observed three times before this fix).
     child = subprocess.Popen(
         [
             sys.executable,
@@ -75,7 +80,8 @@ def test_tree_cpu_jiffies_sees_busy_descendants():
             "import subprocess,sys;"
             "p=subprocess.Popen([sys.executable,'-c','\\nwhile True: pass']);"
             "p.wait()",
-        ]
+        ],
+        start_new_session=True,
     )
     try:
         time.sleep(0.3)
@@ -84,10 +90,10 @@ def test_tree_cpu_jiffies_sees_busy_descendants():
         j1 = bench._tree_cpu_jiffies(child.pid)
         assert j1 - j0 >= 10  # ~0.5 s of one spinning core (HZ>=100 → ~50)
     finally:
+        import os
         import signal
 
-        child.send_signal(signal.SIGTERM)
-        subprocess.run(["pkill", "-TERM", "-P", str(child.pid)], capture_output=True)
+        os.killpg(child.pid, signal.SIGKILL)  # pgid == child.pid (new session)
         child.wait()
 
 
