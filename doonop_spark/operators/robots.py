@@ -182,6 +182,33 @@ def _path_expr(url):
     )
 
 
+def _n_rules_udf(robot: str):
+    @F.pandas_udf(T.IntegerType())
+    def _n_rules(robots_txt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                len(parse_robots(t, robot).rules) if t is not None else 0
+                for t in robots_txt
+            ],
+            dtype="int32",
+        )
+
+    return _n_rules
+
+
+def robots_have_path_rules(robots: DataFrame, robot: str = DEFAULT_ROBOT) -> bool:
+    """True iff ANY host's robots.txt carries a path rule for ``robot`` —
+    ONE scalar aggregate over the (distributed) robots table, computed
+    once per crawl so :func:`robots_gate` can drop the per-row Python
+    verdict from every wave's plan when the whole table is rule-free
+    (the common pure-Crawl-delay politeness setup). Never materializes
+    per-host data on the driver."""
+    row = robots.select(
+        F.max(_n_rules_udf(robot)(F.col("robots_txt"))).alias("m")
+    ).first()
+    return bool(row["m"] or 0)
+
+
 def robots_gate(
     wave: DataFrame,
     robots: DataFrame | None,
@@ -189,6 +216,7 @@ def robots_gate(
     use_robots: bool = False,
     host_col: str = "host",
     url_col: str = "url",
+    has_path_rules: bool | None = None,
 ) -> DataFrame:
     """F6/F7 — admission gate over a scheduled wave.
 
@@ -196,10 +224,45 @@ def robots_gate(
     broadcast hash join (no shuffle of the wave). Disallowed and
     fetch-missed rows are dropped *silently* (reference semantics);
     hostless URLs always pass (F7).
+
+    ``has_path_rules``: pass False (from :func:`robots_have_path_rules`,
+    computed once per crawl) when NO host carries a path rule for this
+    robot — the gate then stays entirely in whole-stage codegen (host
+    known + robots row present ⇒ allowed); None/True keeps the per-row
+    verdict, with rule-free hosts' rows crossing the Arrow boundary as
+    NULLs only.
     """
     if not use_robots or robots is None:
         return wave
-    r = F.broadcast(robots.select(F.col("host").alias("__rhost"), "robots_txt"))
+
+    if has_path_rules is False:
+        # rule-free table: admission = "a robots row exists" (fetch-miss
+        # rows drop, hostless rows pass) — pure JVM, no Arrow stage.
+        r = F.broadcast(
+            robots.select(F.col("host").alias("__rhost"), "robots_txt")
+        )
+        joined = wave.join(r, wave[host_col] == r["__rhost"], "left")
+        gate = F.col(host_col).isNull() | F.col("robots_txt").isNotNull()
+        return joined.filter(gate).drop("__rhost", "robots_txt")
+
+    # Pre-classify each host ONCE on the tiny broadcast side: the number
+    # of path rules the winning UA group carries for THIS robot. A host
+    # with zero rules (empty robots.txt, or only Crawl-delay) admits every
+    # path, so its wave rows never need the per-row Python verdict — the
+    # gate stays whole-stage-codegen for them (guide §4.1: built-ins over
+    # UDFs). Rows that DO need path matching reach the pandas UDF with
+    # real inputs; everything else crosses the Arrow boundary as NULLs
+    # (a When AROUND a pandas UDF still evaluates it over the whole
+    # batch, so the skip must happen in the UDF's INPUT — same gating
+    # shape as functions/text.normalize_text_expr).
+    _n_rules = _n_rules_udf(robot)
+    r = F.broadcast(
+        robots.select(
+            F.col("host").alias("__rhost"),
+            "robots_txt",
+            _n_rules(F.col("robots_txt")).alias("__nrules"),
+        )
+    )
     joined = wave.join(r, wave[host_col] == r["__rhost"], "left")
 
     @F.pandas_udf(T.BooleanType())
@@ -209,7 +272,16 @@ def robots_gate(
             dtype="boolean",
         )
 
-    gate = F.when(F.col(host_col).isNull(), F.lit(True)).otherwise(
-        _allowed(F.col("robots_txt"), _path_expr(F.col(url_col)))
+    needs_py = F.col("robots_txt").isNotNull() & (F.col("__nrules") > 0)
+    gate = (
+        F.when(F.col(host_col).isNull(), F.lit(True))
+        .when(F.col("robots_txt").isNull(), F.lit(False))  # fetch-miss: skip
+        .when(F.col("__nrules") == 0, F.lit(True))  # no rules: all allowed
+        .otherwise(
+            _allowed(
+                F.when(needs_py, F.col("robots_txt")),
+                F.when(needs_py, _path_expr(F.col(url_col))),
+            )
+        )
     )
-    return joined.filter(gate).drop("__rhost", "robots_txt")
+    return joined.filter(gate).drop("__rhost", "robots_txt", "__nrules")

@@ -34,6 +34,7 @@ from doonop_spark.plans.job import RetryPolicy
 
 __all__ = [
     "select_wave",
+    "budget_keep_flags",
     "policy_order",
     "politeness_budget",
     "salt_for_skew",
@@ -163,17 +164,30 @@ def _budget_pandas(
     """Per-host grouped priority queue via applyInPandas (north_star's
     stated shape) — use when the per-host rule needs imperative logic
     (custom priorities, token buckets); the window variant is otherwise
-    equivalent and cheaper."""
-    budgets: dict[str, int] = {}
-    if per_host_budget is not None:
-        budgets = {r["host"]: int(r["budget"]) for r in per_host_budget.collect()}
+    equivalent and cheaper.
+
+    The budget table rides a broadcast join onto the candidates (r5
+    verdict #4): a driver dict would be O(#hosts) driver memory at
+    100 TB; the broadcast join keeps the budget lookup distributed and
+    bounded per executor."""
     default = default_budget if default_budget is not None else 2**31 - 1
     retry_first = policy == RetryPolicy.FIRST
     schema = cand.schema
 
+    if per_host_budget is not None:
+        b = F.broadcast(
+            per_host_budget.select(
+                F.col("host").alias("__bhost"), F.col("budget").alias("__budget")
+            )
+        )
+        cand2 = cand.join(b, cand["host"] == b["__bhost"], "left").drop("__bhost")
+    else:
+        cand2 = cand.withColumn("__budget", F.lit(None).cast("int"))
+
     def take(key, pdf: pd.DataFrame) -> pd.DataFrame:
         host = key[0]
-        n = budgets.get(host, default)
+        bval = pdf["__budget"].iloc[0] if len(pdf) else None
+        n = int(bval) if pd.notna(bval) else default
         if host is None:
             n = len(pdf)  # hostless rows are never budget-bound (F7 analog)
         prio = pdf["is_retry"].fillna(False).astype(int)
@@ -183,9 +197,104 @@ def _budget_pandas(
         order = pd.DataFrame(
             {"p": prio, "r": eff_retry_at, "s": -pdf["seq"]}
         ).sort_values(["p", "r", "s"]).index
-        return pdf.loc[order].head(n)
+        return pdf.loc[order].head(n).drop(columns=["__budget"])
 
-    return cand.groupBy("host").applyInPandas(take, schema=schema)
+    return cand2.groupBy("host").applyInPandas(take, schema=schema)
+
+
+def budget_keep_flags(
+    cand: DataFrame,
+    order,
+    per_host_budget,
+    default_budget,
+    impl: str = "window",
+    default_can_bind: bool = False,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Append a boolean ``__keep`` (dispatch this wave under the per-host
+    budgets) WITHOUT dropping rows — the caller materializes the flagged
+    frame once and derives both the wave (``__keep``) and the deferred
+    complement (``~__keep``) as cheap filters over it, replacing the
+    per-wave ``frontier ∖ wave`` anti-join the old path paid (guide §2.4:
+    one exchange feeds both outputs).
+
+    Only rows of hosts that actually carry a budget row are windowed:
+    a host with no entry is bounded by ``default_budget`` only, so when
+    the caller can prove the default cannot bind (total candidate rows ≤
+    default budget ⇒ no host can exceed it), those rows skip the window
+    shuffle+sort entirely — in a politeness crawl where one host carries
+    a Crawl-delay, that removes ~all of the window work. Pass
+    ``default_can_bind=True`` to window everything (same output as the
+    old `_budget_window`).
+
+    ``impl='window2'`` applies the skew-proof two-phase top-k to the
+    windowed subset (phase-1 eliminations are provably outside the true
+    per-host top-budget, so flagging them False is exact — see
+    :func:`_budget_window_two_phase`).
+    """
+    keep = F.col("__keep")
+    if per_host_budget is None:
+        # only the scalar default budget exists
+        if not default_can_bind:
+            return cand.withColumn("__keep", F.lit(True))
+        w = Window.partitionBy("host").orderBy(*order)
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .withColumn(
+                "__keep",
+                (F.col("__rn") <= F.lit(default_budget)) | F.col("host").isNull(),
+            )
+            .drop("__rn")
+        )
+
+    b = F.broadcast(
+        per_host_budget.select(
+            F.col("host").alias("__bhost"), F.col("budget").alias("__budget")
+        )
+    )
+    joined = cand.join(b, cand["host"] == F.col("__bhost"), "left").drop("__bhost")
+    budget = F.coalesce(F.col("__budget"), F.lit(default_budget or 2**31 - 1))
+
+    if default_can_bind:
+        windowed = joined
+        passed = None
+    else:
+        windowed = joined.filter(F.col("__budget").isNotNull())
+        passed = joined.filter(F.col("__budget").isNull()).withColumn(
+            "__keep", F.lit(True)
+        )
+
+    if impl == "window2":
+        spark = cand.sparkSession
+        shards = n_shards or max(spark.sparkContext.defaultParallelism, 1)
+        salt = F.pmod(F.col("url_hash"), F.lit(shards))
+        w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+        windowed = windowed.withColumn("__rn1", F.row_number().over(w1))
+        survivors = windowed.filter(
+            (F.col("__rn1") <= budget) | F.col("host").isNull()
+        ).drop("__rn1")
+        eliminated = (
+            windowed.filter((F.col("__rn1") > budget) & F.col("host").isNotNull())
+            .drop("__rn1")
+            .withColumn("__keep", F.lit(False))
+        )
+        w2 = Window.partitionBy("host").orderBy(*order)
+        flagged = (
+            survivors.withColumn("__rn", F.row_number().over(w2))
+            .withColumn(
+                "__keep", (F.col("__rn") <= budget) | F.col("host").isNull()
+            )
+            .drop("__rn")
+        ).unionByName(eliminated)
+    else:
+        w = Window.partitionBy("host").orderBy(*order)
+        flagged = windowed.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__keep", (F.col("__rn") <= budget) | F.col("host").isNull()
+        ).drop("__rn")
+
+    if passed is not None:
+        flagged = flagged.unionByName(passed)
+    return flagged.drop("__budget")
 
 
 def select_wave(

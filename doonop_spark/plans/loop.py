@@ -60,8 +60,9 @@ from doonop_spark.operators.bloom import (
 )
 from doonop_spark.operators.dedup import SEEN_COLS, anti_join_seen, dedup_within_batch
 from doonop_spark.operators.filters import apply_link_filters
-from doonop_spark.operators.robots import robots_gate
+from doonop_spark.operators.robots import robots_gate, robots_have_path_rules
 from doonop_spark.operators.schedule import (
+    budget_keep_flags,
     policy_order,
     politeness_budget,
     resolve_politeness_impl,
@@ -201,9 +202,40 @@ def run_crawl(
         if data_expr is None:
             data_expr = F.col("check_data")
 
+    # storage-partitioned fetch: corpus written by write_bucketed_corpus
+    # carries a 'bucket' partition column derived from pmod(xxhash64(url), B).
+    # B is validated against — or derived from — the layout's own record
+    # (read_bucketed_corpus sidecar → column metadata): pruning with the
+    # wrong modulus would silently miss every page (fetch "errors"), so a
+    # mismatch must fail loudly instead. (Resolved before seeding so the
+    # seed materialize can observe the wave-0 bucket set.)
+    layout_b = corpus_bucket_count(corpus)
+    corpus_buckets = job.corpus_buckets
+    if layout_b is not None:
+        if corpus_buckets == 0:
+            corpus_buckets = layout_b  # bucketed corpus ⇒ prune by default
+        elif corpus_buckets != layout_b:
+            raise ValueError(
+                f"corpus_buckets={corpus_buckets} but the corpus layout was "
+                f"written with n_buckets={layout_b}; pmod(xxhash64(url), "
+                f"{corpus_buckets}) would match no stored partition"
+            )
+    bucketed_fetch = corpus_buckets > 0 and "bucket" in corpus.columns
+
+    def _bucket_metric():
+        # the frontier-level bucket set is a superset of any wave's bucket
+        # set (wave ⊆ frontier), so pruning with it is always sound — the
+        # same pre-gate-superset argument the old wave-level observation
+        # made. Riding the frontier materialize makes it free (guide §2.4:
+        # no dedicated bookkeeping jobs).
+        return F.collect_set(bucket_expr(F.col("url"), corpus_buckets)).alias(
+            "buckets"
+        )
+
     # ---- init / resume -----------------------------------------------------
     state = io.load_state() if resume else None
     stats = Statistics()
+    frontier_buckets: list | None = None
     if state is not None:
         iteration = state["iteration"]
         seq_counter = state["seq_counter"]
@@ -239,11 +271,16 @@ def run_crawl(
             from doonop_spark.sources.seeds import seed_frontier_distributed
 
             obs_seed = Observation("seed_frontier")
+            seed_metrics = [F.count(F.lit(1)).alias("n")]
+            if bucketed_fetch:
+                seed_metrics.append(_bucket_metric())
             frontier = seed_frontier_distributed(
                 spark, cleaned, job.seed_frame, job.url_key, job.filters
-            ).observe(obs_seed, F.count(F.lit(1)).alias("n"))
+            ).observe(obs_seed, *seed_metrics)
             frontier = io.materialize(frontier, "frontier", 0)
             n_seeds = int(obs_seed.get["n"])
+            if bucketed_fetch:
+                frontier_buckets = list(obs_seed.get["buckets"])
             if n_seeds == 0:
                 empty = _empty_results(spark)
                 return CrawlResult(
@@ -260,7 +297,12 @@ def run_crawl(
             seq_counter = len(cleaned)
             fresh_count = len(cleaned)
             frontier_rows = len(cleaned)
+            if bucketed_fetch:
+                obs_seed0 = Observation("seed_buckets")
+                frontier = frontier.observe(obs_seed0, _bucket_metric())
             frontier = io.materialize(frontier, "frontier", 0)
+            if bucketed_fetch:
+                frontier_buckets = list(obs_seed0.get["buckets"])
         # the seen table is append-only (monotone, §2.9): store per-wave
         # DELTAS and anti-join against their union — rewriting the full
         # seen set every wave would be O(total²) over the crawl. Seeds are
@@ -283,7 +325,51 @@ def run_crawl(
         if (robots is not None and job.use_robots)
         else None
     )
+    if budgets is not None:
+        # tiny static table re-broadcast every wave: checkpoint once so
+        # the Crawl-delay parse UDF doesn't re-run per wave
+        budgets = budgets.localCheckpoint(eager=True)
+    # one scalar aggregate per crawl: a rule-free robots table (pure
+    # Crawl-delay politeness) lets every wave's TWO robots gates stay
+    # whole-stage codegen instead of running an Arrow stage each
+    robots_rules = (
+        robots_have_path_rules(robots, job.robot)
+        if (robots is not None and job.use_robots)
+        else None
+    )
     parity_seq = job.engines is not None and job.engines <= 64
+
+    # ---- corpus cache (guide §5: reuse × recompute-cost) -------------------
+    # The fetch join re-reads the corpus EVERY wave — the single biggest
+    # per-wave cost at bench scale (measured: ~40% of the plain crawl).
+    # When the optimizer's size estimate fits job.corpus_cache_max_bytes,
+    # persist the fetch projection ONCE, hash-partitioned AND sorted by the
+    # join key: every wave's SortMergeJoin then reads the cached partitions
+    # with no corpus-side Exchange or Sort (plan-verified), shuffling only
+    # the wave. MEMORY_AND_DISK spills gracefully; unpersisted on exit. At
+    # 100 TB the estimate exceeds any sane budget and the scan-per-wave
+    # plans (bucketed pruning, broadcast waves) remain the scale paths.
+    cached_corpus = None
+    if job.corpus_cache_max_bytes > 0:
+        try:
+            est = int(
+                corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = None
+        if est is not None and est <= job.corpus_cache_max_bytes:
+            from pyspark import StorageLevel
+
+            fetch_cols = ["url", "html"] + (
+                ["warc_ts"] if job.dedup_captures else []
+            )
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            cached_corpus = (
+                corpus.select(*fetch_cols)
+                .repartition(n_shuffle, "url")
+                .sortWithinPartitions("url")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
 
     # partitioned bloom seen-sidecar (north_rule): built once over the
     # current seen set (covers resume too), then FOLDED every
@@ -329,25 +415,14 @@ def run_crawl(
             "bloom",
             iteration,
         )
-
-    # storage-partitioned fetch: corpus written by write_bucketed_corpus
-    # carries a 'bucket' partition column derived from pmod(xxhash64(url), B).
-    # B is validated against — or derived from — the layout's own record
-    # (read_bucketed_corpus sidecar → column metadata): pruning with the
-    # wrong modulus would silently miss every page (fetch "errors"), so a
-    # mismatch must fail loudly instead.
-    layout_b = corpus_bucket_count(corpus)
-    corpus_buckets = job.corpus_buckets
-    if layout_b is not None:
-        if corpus_buckets == 0:
-            corpus_buckets = layout_b  # bucketed corpus ⇒ prune by default
-        elif corpus_buckets != layout_b:
-            raise ValueError(
-                f"corpus_buckets={corpus_buckets} but the corpus layout was "
-                f"written with n_buckets={layout_b}; pmod(xxhash64(url), "
-                f"{corpus_buckets}) would match no stored partition"
-            )
-    bucketed_fetch = corpus_buckets > 0 and "bucket" in corpus.columns
+    # broadcast-probe closure, rebuilt only when the BANK changes (initial
+    # build + every fold) — collecting/broadcasting the bank once per wave
+    # was pure overhead, the bank is immutable between folds
+    bloom_probe_fn = (
+        bloom_probe(spark, bloom_df)
+        if use_bloom and bloom_probe_mode != "copartition"
+        else None
+    )
 
     # ---- the loop (reference src/workload.rs:79-200) -----------------------
     waves_run = 0
@@ -366,53 +441,160 @@ def run_crawl(
         wave_now = (
             float(iteration) if job.retry_clock == "wave" else float(clock())
         )
-        wave = select_wave(
-            frontier,
-            job.retry_policy,
-            job.engines,
-            now=wave_now,
-            fresh_empty=fresh_count == 0,
-            per_host_budget=budgets,
-            default_budget=job.per_host_budget,
-            impl=resolve_politeness_impl(
-                job.politeness_impl, frontier_rows,
-                job.politeness_auto_threshold,
-            ),
+        fresh_empty = fresh_count == 0
+        # retries exist in the frontier iff some rows are is_retry — known
+        # for free from the frontier observation (fresh vs total); unknown
+        # (None, e.g. a pre-auto resume state) falls back conservatively.
+        has_retries = (
+            frontier_rows is None or fresh_count != frontier_rows
         )
-        # dispatch_rank fixes the deterministic "completion order" within
-        # the wave (the reference's multi-engine completion order is
-        # wall-clock; ours is the dispatch order, stable at any
-        # parallelism). Parity mode ranks by the exact policy order; scale
-        # mode avoids the single-partition sort — ordering within a wave is
-        # not observable there anyway.
-        if parity_seq:
-            wave = wave.withColumn(
-                "dispatch_rank",
-                F.row_number().over(Window.orderBy(*policy_order(job.retry_policy))),
+        # the scalar default budget provably cannot bind when the WHOLE
+        # frontier holds no more rows than the budget (row_number per host
+        # ≤ total rows ≤ budget) — the common case for the engine-bound-
+        # lifted crawl, where it previously cost a full per-host window
+        # shuffle+sort every wave for nothing (guide §2.4).
+        default_bind = job.per_host_budget is not None and (
+            frontier_rows is None or frontier_rows > job.per_host_budget
+        )
+        deferred: list[DataFrame] = []  # not-dispatched rows, as filters
+        use_anti_remaining = False
+        obs_wave = None
+        bkts = None
+
+        if job.engines is not None:
+            # parity / bounded-wave mode: the reference's exact machinery,
+            # complement via anti-join (a top-k has no filter complement).
+            wave = select_wave(
+                frontier,
+                job.retry_policy,
+                job.engines,
+                now=wave_now,
+                fresh_empty=fresh_empty,
+                per_host_budget=budgets,
+                default_budget=job.per_host_budget,
+                impl=resolve_politeness_impl(
+                    job.politeness_impl, frontier_rows,
+                    job.politeness_auto_threshold,
+                ),
             )
+            use_anti_remaining = True
+            # dispatch_rank fixes the deterministic "completion order"
+            # within the wave. Parity mode ranks by the exact policy order;
+            # scale mode avoids the single-partition sort — ordering within
+            # a wave is not observable there anyway.
+            if parity_seq:
+                wave = wave.withColumn(
+                    "dispatch_rank",
+                    F.row_number().over(
+                        Window.orderBy(*policy_order(job.retry_policy))
+                    ),
+                )
+            else:
+                wave = wave.withColumn(
+                    "dispatch_rank", F.monotonically_increasing_id()
+                )
+            obs_wave = Observation(f"wave_{iteration}")
+            wave_metrics = [F.count(F.lit(1)).alias("n")]
+            if bucketed_fetch:
+                wave_metrics.append(
+                    F.collect_set(
+                        bucket_expr(F.col("url"), corpus_buckets)
+                    ).alias("buckets")
+                )
+            wave = wave.observe(obs_wave, *wave_metrics)
+            wave = io.materialize(wave, "wave", iteration)
+            n_sched = int(obs_wave.get["n"])
+            if bucketed_fetch:
+                bkts = list(obs_wave.get["buckets"])
         else:
-            wave = wave.withColumn("dispatch_rank", F.monotonically_increasing_id())
-        # per-wave driver cost: every scalar the loop needs rides an
-        # Observation on a materialize action that runs anyway (observe
-        # fires on both localCheckpoint and parquet write) — no dedicated
-        # count/collect jobs. Here: wave size + (bucketed mode) the wave's
-        # bucket set for partition pruning.
-        obs_wave = Observation(f"wave_{iteration}")
-        wave_metrics = [F.count(F.lit(1)).alias("n")]
-        if bucketed_fetch:
-            wave_metrics.append(
-                F.collect_set(
-                    bucket_expr(F.col("url"), corpus_buckets)
-                ).alias("buckets")
+            # scale mode: ripeness and policy are FILTERS over the frontier,
+            # so the rows staying behind are filters too — the per-wave
+            # frontier ∖ wave anti-join is gone (guide §2.4: remove the
+            # shuffle outright). Bucket sets ride the frontier observation
+            # (superset of the wave's buckets: pruning stays sound).
+            ripe = (
+                ~F.col("is_retry")
+                | (F.col("retry_at") <= F.lit(wave_now))
+                | F.lit(fresh_empty)
             )
-        wave = wave.observe(obs_wave, *wave_metrics)
-        wave = io.materialize(wave, "wave", iteration)
-        n_sched = int(obs_wave.get["n"])
+            cand = frontier.filter(ripe)
+            if job.retry_policy == RetryPolicy.NO:
+                cand = cand.filter(~F.col("is_retry"))
+                compl = F.col("is_retry")
+            else:
+                compl = (
+                    F.col("is_retry")
+                    & (F.col("retry_at") > F.lit(wave_now))
+                    & ~F.lit(fresh_empty)
+                )
+            if has_retries:
+                deferred.append(frontier.filter(compl))
+
+            if budgets is not None or default_bind:
+                # politeness / binding budget: ONE materialized window
+                # frame yields both the wave (__keep) and its deferred
+                # complement; only rows of hosts carrying a budget row are
+                # windowed (budget_keep_flags).
+                flagged = budget_keep_flags(
+                    cand,
+                    policy_order(job.retry_policy),
+                    budgets,
+                    job.per_host_budget,
+                    impl=resolve_politeness_impl(
+                        job.politeness_impl, frontier_rows,
+                        job.politeness_auto_threshold,
+                    ),
+                    default_can_bind=default_bind,
+                )
+                obs_wave = Observation(f"wave_{iteration}")
+                flagged = flagged.observe(
+                    obs_wave, F.count_if(F.col("__keep")).alias("n")
+                )
+                flagged = io.materialize(flagged, "wave", iteration)
+                n_sched = int(obs_wave.get["n"])
+                wave = flagged.filter(F.col("__keep")).drop("__keep")
+                deferred.append(
+                    flagged.filter(~F.col("__keep")).drop("__keep")
+                )
+            elif has_retries:
+                # retries pending: the wave is a real subset — materialize
+                # to pin it and observe its size (old slow path, minus the
+                # anti-join: the complement is the filter above).
+                obs_wave = Observation(f"wave_{iteration}")
+                cand = cand.observe(obs_wave, F.count(F.lit(1)).alias("n"))
+                wave = io.materialize(cand, "wave", iteration)
+                n_sched = int(obs_wave.get["n"])
+            else:
+                # FAST PATH (no budgets can bind, no retries, no wave cap):
+                # every frontier row dispatches — the wave IS the already-
+                # checkpointed frontier; zero extra jobs, and the wave size
+                # is the frontier count observed last wave.
+                wave = cand
+                n_sched = frontier_rows
+            # scale-mode dispatch_rank: monotonically_increasing_id over a
+            # checkpointed frame (directly, or one projection above it) is
+            # deterministic — the fetch materialize pins the values.
+            wave = wave.withColumn(
+                "dispatch_rank", F.monotonically_increasing_id()
+            )
+            if bucketed_fetch:
+                if frontier_buckets is not None:
+                    bkts = frontier_buckets
+                else:
+                    # resume before any observation: one bounded agg
+                    # (≤ B ints), once
+                    bkts = list(
+                        wave.agg(_bucket_metric()).first()["buckets"]
+                    )
+
         if n_sched == 0:
             break  # nothing dispatchable: job_counter == 0 (src/workload.rs:178)
         waves_run += 1
 
-        gated = robots_gate(wave, robots, job.robot, job.use_robots)
+        gated = robots_gate(
+            wave, robots, job.robot, job.use_robots,
+            has_path_rules=robots_rules,
+        )
         # X1 salting is opt-in (salt_target_rows=0 default): every fetch
         # path below already balances the extract stage via its own
         # url-keyed shuffle / corpus-partition streaming, so salting here
@@ -498,15 +680,28 @@ def run_crawl(
                 .drop("__cap_rn")
             )
 
+        # Cached fetch: when the corpus fits the configured cache budget it
+        # was persisted ONCE above, hash-partitioned and sorted by url — the
+        # per-wave join then shuffles/sorts ONLY the wave side (the corpus
+        # side of the SortMergeJoin reads the in-memory partitions with no
+        # Exchange and no Sort; guide §2.4/§5). Results are identical to
+        # every other fetch path (same left join on url; bucket pruning is
+        # a scan optimization the cache makes moot).
+        if cached_corpus is not None:
+            joined = latest_capture(
+                gated.join(cached_corpus, on="url", how="left")
+            )
+            shaped, get_counts = _observe_status(shape(joined), iteration)
+            fetched = io.materialize(shaped, "wave_fetched", iteration)
         # Bucketed fetch (the 100 TB plan): the corpus is storage-partitioned
         # by bucket = pmod(xxhash64(url), B) (write_bucketed_corpus), the
         # wave's bucket set is collected (≤ min(wave, B) ints) and pushed as
         # a partition predicate — the corpus scan reads ONLY the wave's
         # buckets instead of rescanning the whole corpus every wave.
-        if bucketed_fetch:
-            # bucket set observed on the wave materialize (pre-gate superset
-            # of gated's buckets: still-correct pruning, no extra job)
-            bkts = list(obs_wave.get["buckets"])
+        elif bucketed_fetch:
+            # bucket set observed on the wave/frontier materialize
+            # (pre-gate superset of gated's buckets: still-correct
+            # pruning, no extra job)
             wave_b = gated.withColumn(
                 "bucket", bucket_expr(F.col("url"), corpus_buckets)
             )
@@ -628,9 +823,10 @@ def run_crawl(
                     iteration,
                 )
             else:
-                probe = bloom_probe(spark, bloom_df)
                 flagged = io.materialize(
-                    links.withColumn("__maybe", probe(F.col("url_hash"))),
+                    links.withColumn(
+                        "__maybe", bloom_probe_fn(F.col("url_hash"))
+                    ),
                     "links_flagged",
                     iteration,
                 )
@@ -650,36 +846,17 @@ def run_crawl(
         new_links = io.materialize(new_links, "new_links", iteration)
 
         if not parity_seq:
-            # scale-mode seq: DENSE per-wave ids with no global sort.
-            # monotonically_increasing_id alone strides 2^33 per partition,
-            # and max(seq) feeds seq_counter — over a long wide crawl that
-            # drifts toward int64 overflow. Decompose mid into (partition,
-            # offset) and add per-partition cumulative offsets from one tiny
-            # agg over the checkpointed frame (deterministic partitioning ⇒
-            # mid is stable across the two jobs). Robots-dropped rows leave
-            # holes in seq — harmless: seq needs monotone+unique, not dense.
-            mid = F.monotonically_increasing_id()
-            pid = F.shiftright(mid, 33).cast("int")
-            pcounts = sorted(
-                (r["pid"], r["n"])
-                for r in new_links.groupBy(pid.alias("pid"))
-                .agg(F.count("*").alias("n"))
-                .collect()
-            )
-            offs, acc = {}, 0
-            for p_, n_ in pcounts:
-                offs[p_] = acc
-                acc += n_
-            if offs:
-                off_expr = F.element_at(
-                    F.create_map(*[F.lit(v) for kv in offs.items() for v in kv]),
-                    pid,
-                )
-            else:
-                off_expr = F.lit(0)
+            # scale-mode seq: unique + monotone ids straight from
+            # monotonically_increasing_id over the checkpointed frame
+            # (deterministic partitioning ⇒ stable across jobs). seq needs
+            # monotone+unique, never dense — holes are harmless. The old
+            # dense form paid one groupBy+collect job per wave to compute
+            # per-partition offsets; sparse ids instead advance seq_counter
+            # by ≤ nparts·2^33 ≈ 2^38 per wave, which overflows int64 only
+            # after ~2^24 waves — six orders of magnitude past
+            # max_iterations (guarded below at the seq_counter update).
             new_links = new_links.withColumn(
-                "__seq0",
-                (off_expr + mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("long"),
+                "__seq0", (F.monotonically_increasing_id() + 1).cast("long")
             )
 
         # all newly-discovered links enter the seen set at enqueue time
@@ -690,6 +867,7 @@ def run_crawl(
             robots,
             job.robot,
             job.use_robots,
+            has_path_rules=robots_rules,
         )
 
         # seq: monotone enqueue counter continuing the reference's append
@@ -742,10 +920,33 @@ def run_crawl(
             requeue = None
 
         # ---- commit the wave ----------------------------------------------
-        remaining = frontier.join(wave.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti")
-        new_frontier = remaining.unionByName(enqueue)
+        # rows staying in the frontier: the parity/top-k path computes the
+        # complement by anti-join (a limit has no filter complement); every
+        # scale-mode path expressed it as filters in `deferred` above —
+        # frontier ukeys are unique (dup ukeys never re-enter: they are in
+        # seen), so filter-complement ≡ the old frontier ∖ wave anti-join.
+        if use_anti_remaining:
+            new_frontier = frontier.join(
+                wave.select(*SEEN_COLS), on=SEEN_COLS, how="left_anti"
+            ).unionByName(enqueue)
+        else:
+            new_frontier = enqueue
+            for part in deferred:
+                new_frontier = new_frontier.unionByName(part)
         if requeue is not None:
             new_frontier = new_frontier.unionByName(requeue)
+        if not use_anti_remaining and (deferred or requeue is not None):
+            # a union concatenates its inputs' partitions, and deferred
+            # parts are filters over the PREVIOUS frontier checkpoint — left
+            # unchecked the frontier's partition count grows by ~P per wave
+            # and every downstream Arrow stage pays per-task Python setup
+            # (measured: politeness fetch 2.2 s → 7 s across 17 waves).
+            # coalesce is shuffle-free and bounds it at the session
+            # parallelism; the old anti-join path got the same bound from
+            # its exchange, at shuffle price.
+            new_frontier = new_frontier.coalesce(
+                max(spark.sparkContext.defaultParallelism, 1)
+            )
 
         # seen-delta compaction: the anti-join otherwise scans one delta per
         # past wave — O(waves²) over a long crawl and a linearly growing
@@ -790,21 +991,33 @@ def run_crawl(
                     iteration,
                 )
                 bloom_pending = []
+                if bloom_probe_mode != "copartition":
+                    bloom_probe_fn = bloom_probe(spark, bloom_df)
         iteration += 1
         # fresh/seq bookkeeping observed on the frontier materialize itself
         obs_fr = Observation(f"frontier_{iteration}")
-        new_frontier = new_frontier.observe(
-            obs_fr,
+        fr_metrics = [
             F.count_if(~F.col("is_retry")).alias("fresh"),
             F.max("seq").alias("max_seq"),
             F.count(F.lit(1)).alias("total"),
-        )
+        ]
+        if bucketed_fetch:
+            fr_metrics.append(_bucket_metric())
+        new_frontier = new_frontier.observe(obs_fr, *fr_metrics)
         frontier = io.materialize(new_frontier, "frontier", iteration)
         vals = obs_fr.get
         fresh_count = int(vals["fresh"])
         frontier_rows = int(vals["total"])
+        if bucketed_fetch:
+            frontier_buckets = list(vals["buckets"])
         if vals["max_seq"] is not None:
             seq_counter = max(seq_counter, int(vals["max_seq"]))
+            if seq_counter > (1 << 62):
+                raise RuntimeError(
+                    "seq counter approaching int64 overflow "
+                    f"({seq_counter}); the sparse per-wave seq ids assume "
+                    "far fewer waves than this crawl has run"
+                )
         io.save_state(
             {
                 "iteration": iteration,
@@ -819,6 +1032,8 @@ def run_crawl(
             io.drop_appends_before("seen", iteration - 1)
         seen = io.read_appended(spark, "seen")
 
+    if cached_corpus is not None:
+        cached_corpus.unpersist(blocking=False)
     results = io.read_appended(spark, "results")
     metrics = io.read_appended(spark, "metrics")
     return CrawlResult(
