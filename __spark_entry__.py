@@ -34,6 +34,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _read, but round-robin repartitioned to the session's
+    parallelism. The driver tables are single-row-group parquet files, so
+    a bare scan is ONE task — every per-row-heavy query (regex/HOF
+    projections, Arrow UDF kernels, shingle explodes) was running
+    serially on one core (guide §2: input skew — one unsplittable input).
+    The repartition costs one tiny exchange (the tables are a few MB) and
+    buys scan-side parallelism; row-wise results are order-independent so
+    query output is unchanged."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _ts_us():
     """Epoch micros of the TIMESTAMP_NTZ events.ts, session-TZ-PROOF: pure
     NTZ arithmetic matches DuckDB's naive epoch_us under any driver
@@ -324,7 +338,7 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the decoration and every integer-arithmetic flag exactly."""
     from doonop_spark.operators.qualityfilter import quality_filter_chain
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     i = F.col("doc_id")
     t = F.col("text")
     h = F.floor(F.length(t) / 2).cast("int")
@@ -382,7 +396,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import bpe_token_count_expr
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens")
     )
@@ -391,7 +405,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import quality_features, quality_score_expr
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     q = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -409,7 +423,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage) as integer numerators/denominators — exact-oracled."""
     from doonop_spark.functions.text import repetition_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     r = repetition_stats(F.col("text"))
     return docs.select(
         "doc_id",
@@ -437,7 +451,7 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tokenizer-training / IDF workload) — two-stage hash aggregation."""
     from doonop_spark.operators.vocab import token_vocab
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return token_vocab(docs, "doc_id", "text")
 
 
@@ -448,7 +462,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Patterns are restricted to the Java/RE2-identical regex subset."""
     from doonop_spark.functions.text import pii_counts, scrub_pii_expr
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -469,7 +483,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import quality_score_expr
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return (
         docs.withColumn("is_quality", quality_score_expr(F.col("text")))
         .groupBy("lang", "is_quality")
@@ -480,7 +494,7 @@ def q_lang_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.operators.textdedup import ngram_jaccard_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8).select(
         "id_a", "id_b", "shared", "n_a", "n_b"
     )
@@ -496,7 +510,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
     return dedup_components(pairs, vertices=docs.select("doc_id"))
 
@@ -508,7 +522,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally covered in tests/."""
     from doonop_spark.operators.textdedup import minhash_lsh_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).select(
         "id_a", "id_b"
     )
@@ -517,7 +531,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.operators.textdedup import simhash_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -530,7 +544,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_sort."""
     from doonop_spark.functions.text import winnow_fingerprint_udf
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     fp = winnow_fingerprint_udf(F.col("text"))
     return docs.select(
         "doc_id",
@@ -543,7 +557,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doonop_spark.functions.text import lang_id_udf
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return (
         docs.select(lang_id_udf(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
@@ -670,7 +684,7 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — the real decoder is exact-oracled, not just the fake."""
     from doonop_spark.functions.multimodal import auto_decode, decode_media
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     i = F.col("doc_id")
     raster_hex = F.array_join(
         F.transform(
@@ -751,7 +765,7 @@ def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep doc_id iff min id reachable through pair edges is itself."""
     from doonop_spark.operators.textdedup import dedup_keep, minhash_lsh_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
     return dedup_keep(docs, pairs, "doc_id").select("doc_id")
 
@@ -830,7 +844,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set — no hash collisions, fully SQL-replayable."""
     from doonop_spark.operators.textdedup import contamination_flags
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 19 == 3)
     return contamination_flags(docs, bench, k=8).select("doc_id", "contaminated")
 
@@ -964,11 +978,17 @@ def _doc_link_graph(spark: SparkSession, sf_dir: str):
     from doonop_spark.functions.extract import extract_page_udf
     from doonop_spark.sources.corpus import pages_from_documents
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     corpus = pages_from_documents(spark, docs, n_hosts=20)
     nodes = corpus.select(F.col("url").alias("node"))
-    edges = corpus.withColumn("__p", extract_page_udf("url", "html")).select(
-        F.col("url").alias("src"), F.explode("__p.links").alias("dst")
+    # the Arrow extract kernel is the expensive part and its consumers
+    # (two degree aggs; every PageRank iteration) all re-scan edges —
+    # checkpoint so extraction runs ONCE, in parallel (the bare documents
+    # scan is one task), instead of once per downstream action (guide §5).
+    edges = (
+        corpus.withColumn("__p", extract_page_udf("url", "html"))
+        .select(F.col("url").alias("src"), F.explode("__p.links").alias("dst"))
+        .localCheckpoint(eager=True)
     )
     return nodes, edges
 
@@ -991,7 +1011,12 @@ def q_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = pages_from_documents(spark, docs, n_hosts=20)
     wat_dir = tempfile.mkdtemp(prefix="doonop_wat_oracle_")
     try:
-        write_wat(corpus.repartition(8), wat_dir)
+        # one archive per core: the extract+envelope+gzip write and the
+        # read-back both parallelize (8 archives left 3/4 of the cores
+        # idle; the edge-list oracle is layout-independent)
+        write_wat(
+            corpus.repartition(spark.sparkContext.defaultParallelism), wat_dir
+        )
         out = read_wat_links(spark, wat_dir + "/*.warc.wat.gz").select(
             F.col("src").alias("url"), F.col("dst").alias("link")
         )
@@ -1012,7 +1037,7 @@ def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted UDF-free in tests/test_encoding.py)."""
     from doonop_spark.functions.encoding import charset_of
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     body = F.concat(F.lit("<html><main>"), F.col("text"), F.lit("</main></html>"))
     m = F.col("doc_id") % 4
     payload = (
@@ -1081,7 +1106,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass-through rows' bytes."""
     from doonop_spark.functions.text import normalize_text_expr
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     suffix = F.element_at(
         F.array(
             F.lit(""),
@@ -1102,7 +1127,7 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable hash agg keyed on the JVM-extracted host."""
     from doonop_spark.operators.corpusstats import host_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     corpus = docs.select(
         _doc_url(F.col("doc_id")).alias("url"), "text", "lang"
     )

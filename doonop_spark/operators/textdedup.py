@@ -102,6 +102,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_shingles_expr(F.col(text_col), k)).alias("sh"),
     ).filter(F.size("sh") > 0)
+    # three consumers below (counts, both self-join sides): materialize the
+    # shingling once instead of recomputing the split/transform chain per
+    # branch (guide §5: reuse; blocks released when the frame is GC'd)
+    shingled = shingled.localCheckpoint(eager=True)
     counts = shingled.select("doc", F.size("sh").alias("n_sh"))
     ex = shingled.select("doc", F.explode("sh").alias("shingle"))
     a = ex.select(F.col("doc").alias("id_a"), "shingle")
@@ -262,6 +266,9 @@ def simhash_pairs(
     hashed = df.select(F.col(id_col).alias("doc"), sim(tokens).alias("sh")).filter(
         F.col("sh").isNotNull()
     )
+    # the chunk self-join reads `chunks` twice — without a checkpoint the
+    # SimHash Arrow UDF would run once per side (guide §5: reuse)
+    hashed = hashed.localCheckpoint(eager=True)
     chunks = hashed.select(
         "doc",
         "sh",
@@ -331,7 +338,11 @@ def embedding_lsh_pairs(
     from doonop_spark.operators.similarity import cosine_expr, signature_frame
 
     dim = len(emb.select(vec_col).first()[0])
-    sig = signature_frame(emb, id_col, vec_col, dim, n_planes, n_tables)
+    # the bucket self-join reads the signatures twice — checkpoint so the
+    # hyperplane mapInPandas pass runs once (guide §5: reuse)
+    sig = signature_frame(
+        emb, id_col, vec_col, dim, n_planes, n_tables
+    ).localCheckpoint(eager=True)
     stack = ", ".join(f"b{t}" for t in range(n_tables))
     buckets = sig.selectExpr("id", f"explode(array({stack})) as bucket")
     cand = (
