@@ -102,6 +102,8 @@ def pagerank_fixed_point(
     init = scale // n
     base = ((damping_den - damping_num) * init) // damping_den
 
+    from pyspark.sql import Observation
+
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # (node, outdeg|null) — outdeg rides along so neither the per-iteration
     # contribution join nor the dangling filter needs deg again
@@ -109,14 +111,28 @@ def pagerank_fixed_point(
         deg.withColumnRenamed("src", "node"), "node", "left"
     ).persist()
 
-    ranks = nodes_deg.withColumn("rank_fp", F.lit(init).cast("long")).persist()
-    for _ in range(iterations):
-        dangling = (
-            ranks.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("d"))
-            .collect()[0]["d"]
-        )  # bounded: one scalar
-        dang_share = int(dangling) // n
+    # the dangling-mass scalar each iteration needs is a pure aggregate of
+    # the PREVIOUS ranks frame — observe it on the materialize action that
+    # pins that frame anyway (same shape as the crawl loop's per-wave
+    # stats), halving the per-iteration driver actions (2 jobs → 1).
+    def _observe_dangling(df, tag):
+        obs = Observation(f"pagerank_dangling_{tag}")
+        out = df.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg").isNull(), F.col("rank_fp"))),
+                F.lit(0),
+            ).alias("d"),
+        )
+        return out, obs
+
+    ranks, obs = _observe_dangling(
+        nodes_deg.withColumn("rank_fp", F.lit(init).cast("long")), "init"
+    )
+    ranks = ranks.persist()
+    ranks.count()  # materialize + fire the observation
+    for it in range(iterations):
+        dang_share = int(obs.get["d"]) // n
         inc = (
             edges.join(
                 ranks.filter(F.col("outdeg").isNotNull()).select(
@@ -131,21 +147,19 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("m"))
         )
-        new_ranks = (
-            nodes_deg.join(inc, "node", "left")
-            .select(
-                "node",
-                "outdeg",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * (coalesce(m, 0L) + {dang_share}L))"
-                        f" div {damping_den}"
-                    )
-                ).cast("long").alias("rank_fp"),
-            )
-            .persist()
+        new_ranks = nodes_deg.join(inc, "node", "left").select(
+            "node",
+            "outdeg",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * (coalesce(m, 0L) + {dang_share}L))"
+                    f" div {damping_den}"
+                )
+            ).cast("long").alias("rank_fp"),
         )
+        new_ranks, obs = _observe_dangling(new_ranks, it)
+        new_ranks = new_ranks.persist()
         new_ranks.count()  # materialize BEFORE dropping the input cache,
         ranks.unpersist()  # else iteration k would recompute from scratch
         ranks = new_ranks

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_expr",
+    "cosine_expr_fixed",
     "brute_force_topk",
     "signature_frame",
     "lsh_bucket_topk",
@@ -29,7 +30,10 @@ __all__ = [
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """JVM-side cosine similarity of two array<float/double> columns:
-    zip_with product + aggregate sums inside whole-stage codegen."""
+    zip_with product + aggregate sums. NOTE: higher-order functions are
+    INTERPRETED expressions (no codegen); when the vector dimension is
+    known use :func:`cosine_expr_fixed` — bit-identical result, whole-
+    stage codegen."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -40,6 +44,35 @@ def cosine_expr(a: Column, b: Column) -> Column:
     )
     nb = F.sqrt(
         F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_expr_fixed(a: Column, b: Column, dim: int) -> Column:
+    """:func:`cosine_expr` for vectors of KNOWN dimension, unrolled into a
+    left-associated addition chain — ``((0.0 + p1) + p2) + …`` is exactly
+    the fold order ``F.aggregate`` evaluates, so every intermediate double
+    is bit-identical to the HOF form (float addition is order-sensitive;
+    the order is preserved, only the evaluation engine changes from
+    interpreted HigherOrderFunction to whole-stage codegen — guide §4.1).
+    Verified element-wise equal to :func:`cosine_expr` over the full
+    candidate set in tests."""
+
+    def chain(term):
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + term(i)
+        return acc
+
+    dot = chain(
+        lambda i: F.element_at(a, i).cast("double")
+        * F.element_at(b, i).cast("double")
+    )
+    na = F.sqrt(
+        chain(lambda i: F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double"))
+    )
+    nb = F.sqrt(
+        chain(lambda i: F.element_at(b, i).cast("double") * F.element_at(b, i).cast("double"))
     )
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 

@@ -335,7 +335,7 @@ def embedding_lsh_pairs(
     ``1 - (1 - p^n_planes)^n_tables`` with ``p = 1 - angle/π``. The shuffle
     carries (bucket_key, id) pairs — vectors are only joined back for the
     verified candidate set, never all-pairs crossed."""
-    from doonop_spark.operators.similarity import cosine_expr, signature_frame
+    from doonop_spark.operators.similarity import cosine_expr_fixed, signature_frame
 
     dim = len(emb.select(vec_col).first()[0])
     # the bucket self-join reads the signatures twice — checkpoint so the
@@ -357,7 +357,9 @@ def embedding_lsh_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        # dim is known here: the codegen'd unrolled form is bit-identical
+        # to cosine_expr (same fold order) and ~3x faster per candidate
+        .withColumn("cosine", cosine_expr_fixed(F.col("va"), F.col("vb"), dim))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -399,26 +401,34 @@ def dedup_components(
         ).distinct()
     labels = labels.withColumn("label", F.col("v")).localCheckpoint(eager=True)
 
+    from pyspark.sql import Observation
+
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        # carry each vertex's previous label through the min-agg (every v
+        # has exactly ONE labels row, so max(old) recovers it) and observe
+        # the changed-count on the checkpoint that runs anyway — the old
+        # convergence check paid a dedicated join+count job per round.
         neigh = (
             sym.join(labels, sym["a"] == labels["v"])
-            .select(F.col("b").alias("v"), "label")
+            .select(
+                F.col("b").alias("v"),
+                "label",
+                F.lit(None).cast("long").alias("old"),
+            )
         )
-        new_labels = (
-            labels.select("v", "label")
+        merged = (
+            labels.select("v", "label", F.col("label").alias("old"))
             .unionByName(neigh)
             .groupBy("v")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
-        changed = (
-            new_labels.join(
-                labels.select("v", F.col("label").alias("old")), "v"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
+        obs = Observation(f"cc_changed_{it}")
+        merged = merged.observe(
+            obs, F.count_if(F.col("label") != F.col("old")).alias("chg")
         )
+        new_labels = merged.select("v", "label").localCheckpoint(eager=True)
+        changed = int(obs.get["chg"])
         labels = new_labels
         if changed == 0:
             break

