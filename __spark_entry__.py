@@ -451,7 +451,9 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tokenizer-training / IDF workload) — two-stage hash aggregation."""
     from doonop_spark.operators.vocab import token_vocab
 
-    docs = _read_wide(spark, sf_dir, "documents")
+    # plain _read: the first agg's exchange already parallelizes, and the
+    # added round-robin shuffle measured as pure overhead at this scale
+    docs = _read(spark, sf_dir, "documents")
     return token_vocab(docs, "doc_id", "text")
 
 
@@ -684,7 +686,7 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — the real decoder is exact-oracled, not just the fake."""
     from doonop_spark.functions.multimodal import auto_decode, decode_media
 
-    docs = _read_wide(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents")  # 5k tiny payloads: repartition measured pure overhead
     i = F.col("doc_id")
     raster_hex = F.array_join(
         F.transform(
@@ -969,7 +971,9 @@ def q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _doc_link_graph(spark: SparkSession, sf_dir: str):
+def _doc_link_graph(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True, wide: bool = True
+):
     """(nodes, edges) of the pages_from_documents link graph, built by the
     REAL extraction path: corpus html → fused Arrow extract kernel →
     explode(links). The documents corpus links doc i → 2i+1, 2i+2 (binary
@@ -978,18 +982,23 @@ def _doc_link_graph(spark: SparkSession, sf_dir: str):
     from doonop_spark.functions.extract import extract_page_udf
     from doonop_spark.sources.corpus import pages_from_documents
 
-    docs = _read_wide(spark, sf_dir, "documents")
+    # wide=False: a single-action consumer reading the scan once is
+    # fastest without the parallelizing repartition at this table size
+    # (A/B warm: 0.8 s vs 1.0-1.4 s) — the exchange costs more than the
+    # one-task extract it spreads out
+    docs = (_read_wide if wide else _read)(spark, sf_dir, "documents")
     corpus = pages_from_documents(spark, docs, n_hosts=20)
     nodes = corpus.select(F.col("url").alias("node"))
-    # the Arrow extract kernel is the expensive part and its consumers
-    # (two degree aggs; every PageRank iteration) all re-scan edges —
-    # checkpoint so extraction runs ONCE, in parallel (the bare documents
-    # scan is one task), instead of once per downstream action (guide §5).
-    edges = (
-        corpus.withColumn("__p", extract_page_udf("url", "html"))
-        .select(F.col("url").alias("src"), F.explode("__p.links").alias("dst"))
-        .localCheckpoint(eager=True)
+    edges = corpus.withColumn("__p", extract_page_udf("url", "html")).select(
+        F.col("url").alias("src"), F.explode("__p.links").alias("dst")
     )
+    if checkpoint:
+        # multi-action consumers (every PageRank iteration re-scans
+        # edges): checkpoint so the Arrow extract kernel runs ONCE, in
+        # parallel, instead of once per downstream action (guide §5).
+        # Single-action consumers (degree_stats is one agg+join since its
+        # round-6 rewrite) skip the blocking materialize.
+        edges = edges.localCheckpoint(eager=True)
     return nodes, edges
 
 
@@ -1074,7 +1083,7 @@ def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every node but the root."""
     from doonop_spark.operators.graph import degree_stats
 
-    nodes, edges = _doc_link_graph(spark, sf_dir)
+    nodes, edges = _doc_link_graph(spark, sf_dir, checkpoint=False, wide=False)
     return degree_stats(nodes, edges).select(
         F.col("node").alias("url"), "out_deg", "in_deg"
     )

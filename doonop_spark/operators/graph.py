@@ -46,23 +46,38 @@ def degree_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Per-node ``(node, out_deg, in_deg)`` over ``edges(src, dst)``.
 
     ``nodes`` must be one row per node id in column ``node`` (isolated
-    nodes get 0/0). Two hash aggregates + two left joins against the
-    small-per-node aggregate results; all counts are exact longs.
+    nodes get 0/0). ONE pass over the edge list: each edge explodes into
+    an (src, +out) and a (dst, +in) contribution, summed in a single
+    map-side-combinable hash aggregate, then one left join against
+    ``nodes``. (Round 6: the previous two-aggregate form consumed
+    ``edges`` twice — when edges come off an extraction pipeline the
+    whole Arrow kernel re-ran per branch — and paid two shuffles + two
+    joins; the exploded single agg is equivalent exact long arithmetic,
+    one shuffle, one join.)
     """
-    out_d = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("out_deg")
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("node"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col("dst").alias("node"),
+                    F.lit(0).alias("o"),
+                    F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.o", "e.i")
+    deg = both.groupBy("node").agg(
+        F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg")
     )
-    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
-        F.count("*").alias("in_deg")
-    )
-    return (
-        nodes.join(out_d, "node", "left")
-        .join(in_d, "node", "left")
-        .select(
-            "node",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-        )
+    return nodes.join(deg, "node", "left").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
     )
 
 

@@ -117,12 +117,17 @@ def test_line_dedup_partial_agg_and_narrow_shuffle(spark):
 
 
 def test_repetition_stats_is_shuffle_free(spark):
-    """repetition_stats is a pure per-row projection: no exchange in the
-    plan, no Python (the fold is a JVM higher-order aggregate)."""
+    """repetition_stats is a pure per-row projection — no Python, and no
+    exchange EXCEPT the single round-robin repartition that spreads the
+    single-row-group driver table across cores (round 6: the bare scan
+    was one task, serializing every per-row fold on one core). The
+    repartition is round-robin by construction — never a keyed shuffle."""
     import __spark_entry__ as e
 
     plan = plan_of(e.queries()["repetition_stats"](spark, SF_DIR))
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
     assert "EvalPython" not in plan
 
 
