@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "build_bloom",
     "merge_bloom",
+    "fold_bloom",
     "BloomBank",
     "bloom_probe",
     "bloom_flag_copartitioned",
@@ -143,6 +144,69 @@ def build_bloom(
     return (
         seen.select(F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int").alias("pid"), hash_col)
         .groupBy("pid")
+        .applyInPandas(fold, schema=BLOOM_SCHEMA)
+    )
+
+
+def fold_bloom(
+    bank: DataFrame,
+    seen_delta: DataFrame,
+    n_partitions: int,
+    expected_per_partition: int = 1_000_000,
+    fp_rate: float = 0.01,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """OR a batch of seen keys into an existing bank in ONE cogrouped
+    Arrow stage — ``merge_bloom(bank, build_bloom(delta))`` fused
+    (round 6): the unfused form paid two shuffled applyInPandas
+    aggregations per fold; here the delta's keys cogroup with the bank's
+    row for their pid and the positions are OR'd straight into the
+    existing bitset. Bit-exact same bank (same ``_params``/``_positions``;
+    pinned by tests). A pid with bank row but no new keys passes its row
+    through; a pid with keys but no bank row creates one."""
+    m, k = _params(expected_per_partition, fp_rate)
+
+    def fold(key, kpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bpdf):
+            bm = int(bpdf["m"].iloc[0])
+            bp = int(bpdf["p"].iloc[0])
+            if bp != n_partitions or bm != m:
+                raise ValueError(
+                    f"fold_bloom: bank built with p={bp}, m={bm}; folding "
+                    f"with p={n_partitions}, m={m}"
+                )
+            bits = np.frombuffer(bpdf["bits"].iloc[0], dtype=np.uint8).copy()
+            for raw in bpdf["bits"].iloc[1:]:  # unmerged rows OR together
+                bits |= np.frombuffer(raw, dtype=np.uint8)
+            n = int(bpdf["n"].sum())
+        else:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            n = 0
+        if len(kpdf):
+            hashes = kpdf[hash_col].to_numpy(dtype=np.int64)
+            pos, _ = _positions(hashes, m, k)
+            np.bitwise_or.at(
+                bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8)
+            )
+            n += len(kpdf)
+        return pd.DataFrame(
+            {
+                "pid": [int(key[0])],
+                "p": [n_partitions],
+                "m": [m],
+                "k": [k],
+                "n": [n],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    keys = seen_delta.select(
+        F.pmod(F.col(hash_col), F.lit(n_partitions)).cast("int").alias("pid"),
+        hash_col,
+    )
+    return (
+        keys.groupBy("pid")
+        .cogroup(bank.groupBy("pid"))
         .applyInPandas(fold, schema=BLOOM_SCHEMA)
     )
 

@@ -55,7 +55,7 @@ from doonop_spark.operators.bloom import (
     bloom_flag_copartitioned,
     bloom_probe,
     build_bloom,
-    merge_bloom,
+    fold_bloom,
     resolve_probe_mode,
 )
 from doonop_spark.operators.dedup import SEEN_COLS, anti_join_seen, dedup_within_batch
@@ -977,15 +977,16 @@ def run_crawl(
                 tail = bloom_pending[0]
                 for f in bloom_pending[1:]:
                     tail = tail.unionByName(f)
+                # fused fold: the tail's keys OR straight into the bank in
+                # ONE cogrouped Arrow stage (fold_bloom) instead of a
+                # build + merge pair — same bits, half the Arrow aggs
                 bloom_df = io.materialize(
-                    merge_bloom(
+                    fold_bloom(
                         bloom_df,
-                        build_bloom(
-                            tail,
-                            n_partitions=job.bloom_partitions,
-                            expected_per_partition=job.bloom_expected_per_partition,
-                            fp_rate=job.bloom_fp_rate,
-                        ),
+                        tail,
+                        n_partitions=job.bloom_partitions,
+                        expected_per_partition=job.bloom_expected_per_partition,
+                        fp_rate=job.bloom_fp_rate,
                     ),
                     "bloom",
                     iteration,

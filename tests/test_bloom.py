@@ -211,3 +211,34 @@ def test_resolve_probe_mode_auto(spark, seen):
     built = sum(len(r.bits) for r in bank.select("bits").collect())
     # empty pids emit no row, so built ≤ formula; with 4 populated pids equal
     assert built == bank_size_bytes(4, 500, 0.01)
+
+
+def test_fold_bloom_bitwise_equals_merge_of_build(spark):
+    """Round-6: the fused fold (one cogrouped Arrow stage) must produce a
+    bank BITWISE identical to merge_bloom(bank, build_bloom(delta)) —
+    including pids with bank rows but no new keys, and pids with new keys
+    but no bank row."""
+    from doonop_spark.operators.bloom import build_bloom, fold_bloom, merge_bloom
+
+    P, EXP = 8, 256
+    base = spark.createDataFrame(
+        [(i * 37,) for i in range(200)], "url_hash long"
+    )
+    # delta concentrated on a few pids so both empty-side cases occur
+    delta = spark.createDataFrame(
+        [(i * 91 + 5,) for i in range(60)], "url_hash long"
+    ).filter("pmod(url_hash, 8) in (0, 3)")
+    bank = build_bloom(base, n_partitions=P, expected_per_partition=EXP)
+    want = {
+        r["pid"]: (r["p"], r["m"], r["k"], r["n"], bytes(r["bits"]))
+        for r in merge_bloom(
+            bank, build_bloom(delta, n_partitions=P, expected_per_partition=EXP)
+        ).collect()
+    }
+    got = {
+        r["pid"]: (r["p"], r["m"], r["k"], r["n"], bytes(r["bits"]))
+        for r in fold_bloom(
+            bank, delta, n_partitions=P, expected_per_partition=EXP
+        ).collect()
+    }
+    assert got == want
